@@ -1,0 +1,112 @@
+"""Channel transmission: stream FIR convolution over batched blocks + AWGN.
+
+The reference convolves the *entire serial sample stream* with the channel
+impulse response and truncates to the input length (channel/models.py:46-62),
+so block k's first ``order`` samples depend on block k-1's tail — inter-block
+ISI is physically modeled and absorbed by the guard interval.
+
+TPU-native equivalent (SURVEY §2.11 item 5, §7.2 step 3): convolve each block
+row independently (the tap loop is unrolled at trace time — channels here are
+a handful of taps, so this is a fused VPU elementwise pipeline, not a matmul),
+then add each row's convolution tail into the head of the next row.  A
+``carry`` threads the tail across scan chunks / shard halos so the result is
+*bit-identical* to the unsharded stream convolution.
+
+AWGN (noise/models.py:13-22): the noise power is derived from the *measured
+post-channel signal power*, noise = sqrt(P_n/2) * (N(0,1) + 1j N(0,1)).
+The reference measures power over the whole stream; under chunked execution
+we measure per chunk (statistically identical for >=10^4 samples; exact when
+symbols_per_chunk=0).  Multi-device sweeps psum the power estimate first so
+every shard uses the global measurement.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def convolve_blocks(
+    blocks: jnp.ndarray,
+    taps: jnp.ndarray,
+    carry: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stream-convolve ``blocks`` (B, T) with ``taps`` (K,), K-1 <= T.
+
+    Returns ``(out, new_carry)`` where ``out`` equals
+    ``np.convolve(concat(prev_stream, blocks.ravel()), taps, "full")`` restricted
+    to this chunk's sample positions, and ``new_carry`` is the (K-1,) tail to
+    feed into the next chunk.  ``carry=None`` means stream start (zeros).
+    """
+    B, T = blocks.shape
+    K = taps.shape[0]
+    if K - 1 > T:
+        raise ValueError(f"Channel order {K - 1} exceeds block length {T}.")
+
+    if K == 1:
+        out = blocks * taps[0]
+        new_carry = jnp.zeros((0,), blocks.dtype)
+        return out, new_carry
+
+    # Full per-row convolution via trace-time-unrolled shifted accumulation:
+    # y_full[b, n] = sum_k taps[k] * blocks[b, n - k],   n in [0, T + K - 2].
+    y_full = jnp.zeros((B, T + K - 1), blocks.dtype)
+    for k in range(K):
+        y_full = y_full.at[:, k : k + T].add(taps[k] * blocks)
+
+    body = y_full[:, :T]
+    tail = y_full[:, T:]  # (B, K-1): spill into the next row
+
+    if carry is None:
+        carry = jnp.zeros((K - 1,), blocks.dtype)
+    heads = jnp.concatenate([carry[None, :], tail[:-1]], axis=0)  # (B, K-1)
+    out = body.at[:, : K - 1].add(heads)
+    return out, tail[-1]
+
+
+def awgn(
+    key: jax.Array,
+    signal: jnp.ndarray,
+    snr_db: float,
+    measured_power: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Add complex AWGN scaled off the measured signal power.
+
+    ``measured_power`` overrides the local estimate (used by sharded sweeps to
+    inject a psum'd global mean, and by colored-noise experiments).
+    """
+    if measured_power is None:
+        measured_power = jnp.mean(jnp.abs(signal) ** 2)
+    snr_linear = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
+    noise_power = measured_power / snr_linear
+    kr, ki = jax.random.split(key)
+    real_dtype = jnp.real(signal).dtype
+    sigma = jnp.sqrt(noise_power / 2.0).astype(real_dtype)
+    noise = sigma * (
+        jax.random.normal(kr, signal.shape, real_dtype)
+        + 1j * jax.random.normal(ki, signal.shape, real_dtype)
+    )
+    return signal + noise
+
+
+def transmit(
+    key: jax.Array,
+    blocks: jnp.ndarray,
+    taps: jnp.ndarray,
+    snr_db: float,
+    add_noise: bool = True,
+    carry: Optional[jnp.ndarray] = None,
+    measured_power: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Channel transmit = stream convolution + (optional) AWGN.
+
+    ``taps`` must already be unit-energy normalized
+    (ofdm_tpu.models.channels.normalize_impulse_response), matching
+    ChannelModel's constructor semantics (channel/models.py:37-44).
+    """
+    convolved, new_carry = convolve_blocks(blocks, taps, carry)
+    if add_noise:
+        convolved = awgn(key, convolved, snr_db, measured_power)
+    return convolved, new_carry

@@ -1,0 +1,45 @@
+"""Link metrics: BER/SER error counting, PAPR — as fused reductions.
+
+Replaces the reference's Python-level ``sum(b1 != b2 for ...)`` over millions
+of bits (simulation/models.py:596-608, SURVEY §2.11 item 7) with XOR+sum
+reductions; under sharded sweeps the integer counters `psum` across devices.
+
+SER semantics: the reference re-encodes the received bits and compares symbol
+arrays (simulation/models.py:604-608).  Re-encoding is a deterministic map
+from bit-words to points, so comparing transmitted vs received *table indices*
+is exactly equivalent and avoids a second gather.
+
+PAPR (simulation/models.py:519-524): 10*log10(max|x|^2 / mean|x|^2) over the
+whole modulated (with-prefix) matrix; under chunking we carry the running
+max / sum and finalize on host.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def bit_errors(tx_bits: jnp.ndarray, rx_bits: jnp.ndarray) -> jnp.ndarray:
+    """Count differing bits (uint8 arrays of any equal shape) -> int64 scalar."""
+    return jnp.sum((tx_bits ^ rx_bits).astype(jnp.int32)).astype(jnp.int64)
+
+
+def symbol_errors(tx_idx: jnp.ndarray, rx_idx: jnp.ndarray) -> jnp.ndarray:
+    """Count differing constellation indices -> int64 scalar."""
+    return jnp.sum((tx_idx != rx_idx).astype(jnp.int32)).astype(jnp.int64)
+
+
+def papr_stats(signal: jnp.ndarray):
+    """Running PAPR ingredients for a chunk: (peak_power, power_sum, count)."""
+    p = jnp.abs(signal) ** 2
+    return jnp.max(p), jnp.sum(p), p.size
+
+
+def papr_db(peak_power, power_sum, count) -> float:
+    """Finalize PAPR in dB from accumulated stats."""
+    import numpy as np
+
+    avg = float(power_sum) / float(count)
+    if avg <= 0:
+        return float("inf")
+    return 10.0 * float(np.log10(float(peak_power) / avg))
