@@ -1,0 +1,188 @@
+"""Adaptive per-subcarrier constellation mapping — fully vectorized.
+
+The reference's `AdaptiveConstellationMapper` distributes ragged per-subcarrier
+bit widths with a triple-nested Python loop over (OFDM symbol x subcarrier x
+bits) (constellation/adaptive.py:177-201,236-255) — the worst hot spot in
+SURVEY §2.11 (item 4).  Orders are static per run (computed once from H and
+SNR before the hot loop), so we precompute host-side index/mask tables and
+the whole encode/decode becomes a handful of gathers + one padded-table argmax
+under jit (SURVEY §7.3 "adaptive mode raggedness").
+
+Layout contract (identical to the reference):
+  * one OFDM symbol consumes S = sum(bits_per_subcarrier) bits, laid out
+    subcarrier-major, MSB-first within a subcarrier;
+  * subcarriers with order 0 transmit the zero symbol and contribute no bits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from numpy.typing import NDArray
+
+from ofdm_tpu.ops.mapping import Constellation, make_constellation
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveMapper:
+    """Host-side precomputed tables for vectorized adaptive mapping."""
+
+    kind: str
+    orders: NDArray[np.int64]  # (N,) constellation order per subcarrier
+    bits_per_subcarrier: NDArray[np.int64]  # (N,)
+    num_subcarriers: int
+    # Padded constellation tables, one row per unique active order (+1 zero row
+    # for inactive subcarriers): (G+1, max_order) complex128.
+    tables: NDArray[np.complex128]
+    group_id: NDArray[np.int32]  # (N,) row of `tables` per subcarrier
+    # Bit gather/scatter tables:
+    gather_idx: NDArray[np.int32]  # (N, max_bits): position in the S-bit word
+    bit_mask: NDArray[np.bool_]  # (N, max_bits): j < bits_per_subcarrier[k]
+    weights: NDArray[np.int32]  # (N, max_bits): 2^(b_k-1-j), 0 when masked
+    src_k: NDArray[np.int32]  # (S,): subcarrier owning bit position p
+    src_j: NDArray[np.int32]  # (S,): bit-within-subcarrier for position p
+    max_bits: int
+    max_order: int
+
+    @property
+    def bits_per_ofdm_symbol(self) -> int:
+        return int(self.bits_per_subcarrier.sum())
+
+    @property
+    def active(self) -> NDArray[np.bool_]:
+        return self.orders > 0
+
+    @property
+    def name(self) -> str:
+        """Reference naming (constellation/adaptive.py:101-111)."""
+        uniq = np.unique(self.orders[self.orders > 0])
+        if uniq.size == 0:
+            return "No-Transmission"
+        if uniq.size == 1:
+            return f"{int(uniq[0])}-{self.kind}"
+        return f"Adaptive-{int(uniq.min())}-to-{int(uniq.max())}-{self.kind}"
+
+    @property
+    def composite_constellation(self) -> NDArray[np.complex128]:
+        """Unique points across all active orders (constellation/adaptive.py:84-90)."""
+        pts = []
+        for order in np.unique(self.orders[self.orders > 0]):
+            pts.extend(make_constellation(self.kind, int(order)).table.tolist())
+        return np.unique(np.asarray(pts, dtype=np.complex128))
+
+
+def make_adaptive_mapper(kind: str, orders: NDArray[np.int64]) -> AdaptiveMapper:
+    orders = np.asarray(orders, dtype=np.int64)
+    n = len(orders)
+    bits = np.where(orders > 0, np.log2(np.maximum(orders, 1)).astype(np.int64), 0)
+    S = int(bits.sum())
+    if S == 0:
+        raise ValueError("No active subcarriers (all orders are zero)")
+    max_bits = int(bits.max())
+
+    uniq = [int(o) for o in np.unique(orders) if o > 0]
+    consts = {o: make_constellation(kind, o) for o in uniq}
+    max_order = max(uniq)
+    tables = np.zeros((len(uniq) + 1, max_order), dtype=np.complex128)
+    for g, o in enumerate(uniq):
+        tables[g, :o] = consts[o].table
+    # Row len(uniq) stays zero: inactive subcarriers emit the 0 symbol.
+
+    group_of_order = {o: g for g, o in enumerate(uniq)}
+    group_id = np.array(
+        [group_of_order[int(o)] if o > 0 else len(uniq) for o in orders], dtype=np.int32
+    )
+
+    offsets = np.concatenate([[0], np.cumsum(bits)[:-1]])
+    j = np.arange(max_bits)
+    bit_mask = j[None, :] < bits[:, None]
+    gather_idx = np.where(bit_mask, offsets[:, None] + j[None, :], 0).astype(np.int32)
+    weights = np.where(bit_mask, 1 << np.maximum(bits[:, None] - 1 - j[None, :], 0), 0).astype(
+        np.int32
+    )
+
+    src_k = np.zeros(S, dtype=np.int32)
+    src_j = np.zeros(S, dtype=np.int32)
+    for k in range(n):
+        for jj in range(int(bits[k])):
+            p = int(offsets[k]) + jj
+            src_k[p] = k
+            src_j[p] = jj
+
+    return AdaptiveMapper(
+        kind=kind,
+        orders=orders,
+        bits_per_subcarrier=bits,
+        num_subcarriers=n,
+        tables=tables,
+        group_id=group_id,
+        gather_idx=gather_idx,
+        bit_mask=bit_mask,
+        weights=weights,
+        src_k=src_k,
+        src_j=src_j,
+        max_bits=max_bits,
+        max_order=max_order,
+    )
+
+
+# ---------------------------------------------------------------------------
+# JAX encode / decode
+# ---------------------------------------------------------------------------
+
+
+def encode(
+    bits: jnp.ndarray, m: AdaptiveMapper, dtype=jnp.complex64
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """bits (B, S) -> (symbols (B, N), indices (B, N)); inactive -> 0 symbol."""
+    gather_idx = jnp.asarray(m.gather_idx)
+    weights = jnp.asarray(m.weights)
+    sub_bits = bits[:, gather_idx]  # (B, N, max_bits)
+    idx = jnp.sum(sub_bits.astype(jnp.int32) * weights, axis=-1)  # (B, N)
+    flat_tables = jnp.asarray(m.tables.reshape(-1), dtype=dtype)
+    group = jnp.asarray(m.group_id)
+    symbols = jnp.take(flat_tables, group * m.max_order + idx, axis=0)
+    return symbols, idx
+
+
+def decode(symbols: jnp.ndarray, m: AdaptiveMapper) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """symbols (B, N) -> (bits (B, S), indices (B, N)) via per-order NN argmax.
+
+    Padded-table NN: scores over max_order candidates with -inf bias on padded
+    entries; MXU-friendly like ops.mapping.decode_nn.
+    """
+    tab = m.tables  # (G+1, maxM)
+    valid = np.zeros(tab.shape, dtype=bool)
+    uniq = [int(o) for o in np.unique(m.orders) if o > 0]
+    for g, o in enumerate(uniq):
+        valid[g, :o] = True
+    valid[len(uniq), :1] = True  # inactive row: single zero point
+
+    cre = jnp.asarray(2.0 * tab.real, jnp.float32)[jnp.asarray(m.group_id)]  # (N, maxM)
+    cim = jnp.asarray(2.0 * tab.imag, jnp.float32)[jnp.asarray(m.group_id)]
+    bias = np.where(valid, -np.abs(tab) ** 2, -np.inf)
+    bias_n = jnp.asarray(bias, jnp.float32)[jnp.asarray(m.group_id)]  # (N, maxM)
+
+    yr = jnp.real(symbols).astype(jnp.float32)[..., None]  # (B, N, 1)
+    yi = jnp.imag(symbols).astype(jnp.float32)[..., None]
+    scores = yr * cre[None] + yi * cim[None] + bias_n[None]  # (B, N, maxM)
+    idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)  # (B, N)
+
+    # Unpack per-subcarrier bits then gather into the S-bit stream layout.
+    bits_bnj = ((idx[..., None] >> _shifts(m)) & 1).astype(jnp.uint8)  # (B, N, max_bits)
+    src_k = jnp.asarray(m.src_k)
+    src_j = jnp.asarray(m.src_j)
+    bits_out = bits_bnj[:, src_k, src_j]  # (B, S)
+    return bits_out, idx
+
+
+def _shifts(m: AdaptiveMapper) -> jnp.ndarray:
+    # shift for bit j of subcarrier k is b_k - 1 - j (masked positions give
+    # garbage that src_k/src_j never reference).
+    return jnp.asarray(
+        np.maximum(m.bits_per_subcarrier[:, None] - 1 - np.arange(m.max_bits)[None, :], 0),
+        jnp.int32,
+    )

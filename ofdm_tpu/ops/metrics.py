@@ -20,13 +20,18 @@ import jax.numpy as jnp
 
 
 def bit_errors(tx_bits: jnp.ndarray, rx_bits: jnp.ndarray) -> jnp.ndarray:
-    """Count differing bits (uint8 arrays of any equal shape) -> int64 scalar."""
-    return jnp.sum((tx_bits ^ rx_bits).astype(jnp.int32)).astype(jnp.int64)
+    """Count differing bits (uint8 arrays of any equal shape) -> int32 scalar.
+
+    int32 is exact for chunks < 2^31 bits; the host driver accumulates chunk
+    counts in Python integers (arbitrary precision), so total runs can exceed
+    2^31 bits without overflow.
+    """
+    return jnp.sum((tx_bits ^ rx_bits).astype(jnp.int32))
 
 
 def symbol_errors(tx_idx: jnp.ndarray, rx_idx: jnp.ndarray) -> jnp.ndarray:
-    """Count differing constellation indices -> int64 scalar."""
-    return jnp.sum((tx_idx != rx_idx).astype(jnp.int32)).astype(jnp.int64)
+    """Count differing constellation indices -> int32 scalar (see bit_errors)."""
+    return jnp.sum((tx_idx != rx_idx).astype(jnp.int32))
 
 
 def papr_stats(signal: jnp.ndarray):

@@ -1,0 +1,404 @@
+"""End-to-end link simulation: fused TX -> channel -> RX under jit.
+
+One `prepare()` call does all host-side setup (channel resolution, power
+allocation, adaptive bit loading — float64, matching the reference's setup
+math exactly), then `LinkRunner` executes the hot path entirely on device:
+
+    bits -> map -> (power) -> IFFT+prefix -> stream conv + AWGN
+         -> strip+FFT -> ZF/MMSE -> (IFFT for SC-FDE) -> demap -> error counts
+
+This is the TPU-native replacement for `Simulation.run()`
+(simulation/models.py:214-818): the reference's per-row Python loops,
+BytesIO bit plumbing and Python BER counting collapse into one compiled
+program over batched ``(num_ofdm_symbols, n_sc)`` arrays.  Large runs stream
+in chunks with an exact cross-chunk convolution carry; a single chunk
+reproduces the reference's whole-stream AWGN power-measurement semantics
+exactly (SURVEY §7.3).
+
+Reference quirks deliberately preserved (SURVEY §3.2):
+  * the equalizer's H comes from the *un-normalized* impulse response
+    (simulation/models.py:263-266) while the channel convolves the
+    unit-energy-normalized taps (channel/models.py:37-44);
+  * power allocation is computed and reported but NOT applied at TX in the
+    main path (simulation/models.py:508) — `apply_power_allocation` opts in;
+  * FIXED mode's `num_symbols` means QAM symbols (simulation/models.py:409-411)
+    while CAPACITY_BASED's means OFDM symbols (:379-381);
+  * noise power derives from measured post-channel signal power
+    (noise/models.py:14-16); MMSE re-estimates noise variance per row
+    (equalization/models.py:39-49).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.typing import NDArray
+
+from ofdm_tpu.config import (
+    AdaptiveModulationMode,
+    EqualizationMethod,
+    ModulationType,
+    NoiseType,
+    PowerAllocationType,
+    PrefixType,
+    SimulationConfig,
+)
+from ofdm_tpu.models import channels as chm
+from ofdm_tpu.ops import adaptive as ad
+from ofdm_tpu.ops import allocate as al
+from ofdm_tpu.ops import bits as bitops
+from ofdm_tpu.ops import channel as ch
+from ofdm_tpu.ops import equalize as eq
+from ofdm_tpu.ops import mapping as mp
+from ofdm_tpu.ops import metrics as mt
+from ofdm_tpu.ops import ofdm
+
+
+@dataclasses.dataclass(frozen=True)
+class LinkSetup:
+    """All host-side precomputed state for one simulation point."""
+
+    cfg: SimulationConfig
+    taps: NDArray[np.complex128]  # unit-energy normalized IR (channel path)
+    h_freq: NDArray[np.complex128]  # FFT of the RAW IR (equalizer path quirk)
+    channel_gains: NDArray[np.float64]  # |h_freq|^2
+    noise_power: float  # 10^(-snr/10)
+    prefix_length: int
+    power_allocation: NDArray[np.float64]
+    water_level: Optional[float]
+    constellation_orders: NDArray[np.int64]  # (N,)
+    const: Optional[mp.Constellation]  # FIXED mode
+    amap: Optional[ad.AdaptiveMapper]  # CAPACITY_BASED mode
+    num_ofdm_symbols: int
+    bits_per_ofdm_symbol: int
+    total_bits: int
+
+    @property
+    def is_adaptive(self) -> bool:
+        return self.amap is not None
+
+    @property
+    def block_length(self) -> int:
+        return self.cfg.num_subcarriers + self.prefix_length
+
+    @property
+    def constellation_points(self) -> NDArray[np.complex128]:
+        return self.amap.composite_constellation if self.amap else self.const.table
+
+
+def prepare(
+    cfg: SimulationConfig, channel_ir: Optional[NDArray[np.complex128]] = None
+) -> LinkSetup:
+    """Resolve channel + allocation + (adaptive) bit loading for one config."""
+    n = cfg.num_subcarriers
+
+    # Channel: CUSTOM resolves cfg.channel_model; FLAT/None falls back to the
+    # reference's hardcoded default 4-tap multipath (simulation/models.py:229-246
+    # — note the reference's "FLAT" enum also means the default multipath).
+    raw_ir = channel_ir if channel_ir is not None else chm.get_channel(cfg.channel_model)
+    taps = chm.normalize_impulse_response(raw_ir)
+    order = chm.channel_order(raw_ir)
+
+    h_freq = chm.channel_frequency_response(raw_ir, n)  # raw, un-normalized (quirk)
+    gains = np.abs(h_freq) ** 2
+    noise_power = float(10.0 ** (-cfg.snr_db / 10.0))
+
+    prefix_length = int(cfg.prefix_length_ratio * order)
+    if cfg.prefix_type == PrefixType.NONE:
+        prefix_length = 0
+
+    water_level: Optional[float] = None
+
+    if cfg.adaptive_modulation_mode == AdaptiveModulationMode.CAPACITY_BASED:
+        # Adaptive branch (simulation/models.py:289-395): allocate a budget of
+        # N over the subcarriers, gap-function bit loading off P*|H|^2/N0.
+        if cfg.power_allocation_type == PowerAllocationType.WATERFILLING:
+            power = al.waterfilling(float(n), gains, noise_power)
+            water_level = al.water_level(power, gains, noise_power)
+        else:
+            power = al.uniform(float(n), n)
+        snr_per_sc = power * gains / noise_power
+        orders = mp.bit_loading_orders(
+            cfg.constellation_type.value, cfg.desired_symbol_error_rate, snr_per_sc
+        )
+        amap = ad.make_adaptive_mapper(cfg.constellation_type.value, orders)
+        bits_per_ofdm = amap.bits_per_ofdm_symbol
+        if cfg.num_symbols is not None:
+            num_ofdm_symbols = cfg.num_symbols
+        else:
+            num_ofdm_symbols = cfg.num_bits // bits_per_ofdm  # floor, as reference
+        total_bits = bits_per_ofdm * num_ofdm_symbols
+        const = None
+    else:
+        # FIXED branch (simulation/models.py:397-411,483-501).
+        const = mp.make_constellation(cfg.constellation_type.value, cfg.constellation_order)
+        orders = np.full(n, cfg.constellation_order, dtype=np.int64)
+        amap = None
+        bps = const.bits_per_symbol
+        total_bits = (
+            cfg.num_bits if cfg.num_bits is not None else cfg.num_symbols * bps
+        )
+        if total_bits % bps != 0:
+            raise ValueError(
+                f"num_bits={total_bits} must be a multiple of bits_per_symbol={bps}"
+            )
+        num_qam_symbols = total_bits // bps
+        if num_qam_symbols % n != 0:
+            raise ValueError(
+                f"{num_qam_symbols} symbols not divisible by {n} subcarriers"
+            )
+        num_ofdm_symbols = num_qam_symbols // n
+        bits_per_ofdm = bps * n
+        if cfg.power_allocation_type == PowerAllocationType.WATERFILLING:
+            power = al.waterfilling(1.0, gains, noise_power)
+            water_level = al.water_level(power, gains, noise_power)
+        else:
+            power = al.uniform(1.0, n)
+
+    if order > 0 and (n + prefix_length) < order:
+        raise ValueError(
+            f"Block length {n + prefix_length} shorter than channel order {order}"
+        )
+
+    return LinkSetup(
+        cfg=cfg,
+        taps=taps,
+        h_freq=h_freq,
+        channel_gains=gains,
+        noise_power=noise_power,
+        prefix_length=prefix_length,
+        power_allocation=power,
+        water_level=water_level,
+        constellation_orders=orders,
+        const=const,
+        amap=amap,
+        num_ofdm_symbols=num_ofdm_symbols,
+        bits_per_ofdm_symbol=bits_per_ofdm,
+        total_bits=total_bits,
+    )
+
+
+class LinkRunner:
+    """Compiled executor for one `LinkSetup`.
+
+    The chunk body is a pure function; `run()` drives it over chunks with an
+    exact convolution carry.  `chunk_fn` is also the unit the sharded sweep
+    driver (ofdm_tpu.parallel.sweep) maps over the device mesh.
+    """
+
+    def __init__(self, setup: LinkSetup):
+        self.setup = setup
+        self._jitted = {}
+
+    # -- device constants ---------------------------------------------------
+    def _constants(self):
+        s = self.setup
+        cdtype = jnp.complex64 if s.cfg.dtype == "complex64" else jnp.complex128
+        return {
+            "taps": jnp.asarray(s.taps, cdtype),
+            "h_freq": jnp.asarray(s.h_freq, cdtype),
+            "sqrt_power": jnp.asarray(np.sqrt(s.power_allocation), jnp.float32),
+            "cdtype": cdtype,
+        }
+
+    # -- one chunk ------------------------------------------------------------
+    def chunk_body(
+        self,
+        key: jax.Array,
+        conv_carry: jnp.ndarray,
+        num_syms: int,
+        return_symbols: bool = False,
+        measured_power: Optional[jnp.ndarray] = None,
+    ):
+        """Process ``num_syms`` OFDM symbols; returns stats + new carry.
+
+        Fully traceable: called under jit by `run()` and under shard_map by
+        the sweep driver (which supplies a psum'd ``measured_power``).
+        """
+        s = self.setup
+        cfg = s.cfg
+        n = cfg.num_subcarriers
+        c = self._constants()
+
+        kbits, knoise = jax.random.split(key)
+
+        # --- TX: bits -> symbols -------------------------------------------
+        if s.is_adaptive:
+            tx_bits = bitops.random_bits(kbits, (num_syms, s.bits_per_ofdm_symbol))
+            symbols, tx_idx = ad.encode(tx_bits, s.amap, dtype=c["cdtype"])
+        else:
+            bps = s.const.bits_per_symbol
+            tx_bits = bitops.random_bits(kbits, (num_syms * n, bps))
+            tx_idx = mp.bits_to_indices(tx_bits, bps)
+            symbols = mp.encode_indices(tx_idx, s.const, dtype=c["cdtype"]).reshape(
+                num_syms, n
+            )
+            tx_idx = tx_idx.reshape(num_syms, n)
+
+        if cfg.apply_power_allocation:
+            symbols = symbols * c["sqrt_power"].astype(c["cdtype"])
+
+        # --- TX: modulate ----------------------------------------------------
+        if cfg.modulation_type == ModulationType.OFDM:
+            blocks = ofdm.ofdm_modulate(symbols, n, cfg.prefix_type, s.prefix_length)
+        else:  # SC-OFDM / SC-FDE: prefix only (modulation/models.py:67-72)
+            blocks = ofdm.sc_modulate(symbols, cfg.prefix_type, s.prefix_length)
+
+        papr_peak, papr_sum, papr_count = mt.papr_stats(blocks)
+
+        # --- channel ---------------------------------------------------------
+        add_noise = cfg.noise_type == NoiseType.AWGN
+        rx_blocks, conv_carry = ch.transmit(
+            knoise,
+            blocks,
+            c["taps"],
+            cfg.snr_db,
+            add_noise=add_noise,
+            carry=conv_carry,
+            measured_power=measured_power,
+        )
+
+        # --- RX ---------------------------------------------------------------
+        freq = ofdm.ofdm_demodulate_to_freq(rx_blocks, n, cfg.prefix_type, s.prefix_length)
+        eqd = eq.equalize(freq, c["h_freq"], cfg.equalization_method, cfg.snr_db)
+        data = (
+            ofdm.sc_demodulate_from_freq(eqd, n)
+            if cfg.modulation_type == ModulationType.SC_OFDM
+            else eqd
+        )
+
+        if cfg.normalize_before_demap:
+            avg = jnp.mean(jnp.abs(data) ** 2)
+            data = jnp.where(avg > 1e-10, data / jnp.sqrt(avg).astype(data.dtype), data)
+
+        # --- demap + metrics ---------------------------------------------------
+        if s.is_adaptive:
+            rx_bits, rx_idx = ad.decode(data, s.amap)
+        else:
+            rx_idx = mp.decode_hard(data, s.const)
+            rx_bits = mp.indices_to_bits(rx_idx, s.const.bits_per_symbol)
+
+        stats = {
+            "bit_errors": mt.bit_errors(tx_bits, rx_bits.reshape(tx_bits.shape)),
+            "symbol_errors": mt.symbol_errors(tx_idx, rx_idx.reshape(tx_idx.shape)),
+            "papr_peak": papr_peak,
+            "papr_sum": papr_sum,
+            "papr_count": jnp.asarray(papr_count, jnp.float32),
+        }
+        if return_symbols:
+            stats["received_symbols"] = data.reshape(-1)
+        return stats, conv_carry
+
+    # -- compiled chunk step --------------------------------------------------
+    def _step(self, num_syms: int, return_symbols: bool):
+        key_ = (num_syms, return_symbols)
+        if key_ not in self._jitted:
+            fn = lambda key, carry: self.chunk_body(  # noqa: E731
+                key, carry, num_syms, return_symbols
+            )
+            self._jitted[key_] = jax.jit(fn)
+        return self._jitted[key_]
+
+    def _init_carry(self) -> jnp.ndarray:
+        cdtype = jnp.complex64 if self.setup.cfg.dtype == "complex64" else jnp.complex128
+        return jnp.zeros((max(len(self.setup.taps) - 1, 0),), cdtype)
+
+    # -- full run ----------------------------------------------------------------
+    def run(self, key: jax.Array, collect_symbols: int = 0) -> Dict[str, Any]:
+        """Execute the whole simulation; returns a reference-style results dict."""
+        s = self.setup
+        B = s.num_ofdm_symbols
+        chunk = s.cfg.symbols_per_chunk or B
+        chunk = min(chunk, B)
+
+        carry = self._init_carry()
+        totals = {"bit_errors": 0, "symbol_errors": 0}
+        papr_peak, papr_sum, papr_count = 0.0, 0.0, 0
+        received_sample = None
+
+        t0 = time.perf_counter()
+        done = 0
+        i = 0
+        while done < B:
+            this = min(chunk, B - done)
+            want_syms = collect_symbols > 0 and received_sample is None
+            step = self._step(this, want_syms)
+            stats, carry = step(jax.random.fold_in(key, i), carry)
+            totals["bit_errors"] += int(stats["bit_errors"])
+            totals["symbol_errors"] += int(stats["symbol_errors"])
+            papr_peak = max(papr_peak, float(stats["papr_peak"]))
+            papr_sum += float(stats["papr_sum"])
+            papr_count += int(stats["papr_count"])
+            if want_syms:
+                received_sample = np.asarray(stats["received_symbols"])[:collect_symbols]
+            done += this
+            i += 1
+        elapsed = time.perf_counter() - t0
+
+        cfg = s.cfg
+        num_symbols_total = B * cfg.num_subcarriers
+        ber = totals["bit_errors"] / s.total_bits if s.total_bits > 0 else 0.0
+        ser = totals["symbol_errors"] / num_symbols_total if num_symbols_total else 0.0
+
+        results: Dict[str, Any] = {
+            # config echo (simulation/models.py:413-444)
+            "num_bits": cfg.num_bits,
+            "num_symbols": cfg.num_symbols,
+            "num_subcarriers": cfg.num_subcarriers,
+            "constellation_order": cfg.constellation_order,
+            "constellation_scheme": cfg.constellation_type.name,
+            "modulator_type": cfg.modulation_type.name,
+            "prefix_scheme": cfg.prefix_type.name,
+            "prefix_acronym": {"CYCLIC": "CP", "ZERO": "ZP", "NONE": ""}[
+                cfg.prefix_type.name
+            ],
+            "equalizator_type": cfg.equalization_method.name,
+            "snr_db": cfg.snr_db,
+            "noise_scheme": cfg.noise_type.name,
+            "power_allocation_type": cfg.power_allocation_type.name,
+            "power_allocation_acronym": (
+                "WF"
+                if cfg.power_allocation_type == PowerAllocationType.WATERFILLING
+                else "UNIFORM"
+            ),
+            "adaptive_modulation_mode": cfg.adaptive_modulation_mode.name,
+            "constellation_order_per_subcarrier": s.constellation_orders.tolist(),
+            "water_level": s.water_level,
+            "title": cfg.title,
+            "subtitle": cfg.subtitle,
+            "allocated_power": s.power_allocation.tolist(),
+            # metrics
+            "papr_db": mt.papr_db(papr_peak, papr_sum, papr_count),
+            "bit_errors": totals["bit_errors"],
+            "symbol_errors": totals["symbol_errors"],
+            "total_bits": s.total_bits,
+            "bit_error_rate": ber,
+            "symbol_error_rate": ser,
+            "received_symbols": received_sample,
+            # timing (reference: transmission_time_ms + the quirky
+            # bitrate_mbps = total_bits/1e6, simulation/models.py:804-810)
+            "transmission_time_ms": elapsed * 1000.0,
+            "bitrate_mbps": s.total_bits / 1e6,
+            # TPU-native throughput counters (SURVEY §5 tracing gap)
+            "ofdm_symbols_per_s": B / elapsed if elapsed > 0 else float("inf"),
+            "bits_per_s": s.total_bits / elapsed if elapsed > 0 else float("inf"),
+        }
+        return results
+
+
+def simulate(
+    cfg: SimulationConfig,
+    key: Optional[jax.Array] = None,
+    channel_ir: Optional[NDArray[np.complex128]] = None,
+    collect_symbols: int = 0,
+) -> Dict[str, Any]:
+    """One-call convenience: prepare + run."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    setup = prepare(cfg, channel_ir)
+    return LinkRunner(setup).run(key, collect_symbols=collect_symbols)

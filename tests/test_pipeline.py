@@ -1,0 +1,303 @@
+"""End-to-end pipeline tests: BER thresholds, monotonicity, reference parity.
+
+Mirrors tests/integration/test_end_to_end.py themes: perfect-channel BER,
+CP+ZF multipath, PSK + SC-OFDM, ZP, BER-vs-SNR monotonicity, result schema.
+Statistical parity vs the reference uses matched Monte-Carlo scales and
+binomial-style tolerances (SURVEY §4.3 (b)).
+"""
+
+import contextlib
+import io
+
+import jax
+import numpy as np
+import pytest
+
+from ofdm_tpu.config import (
+    AdaptiveModulationMode,
+    ChannelType,
+    ConstellationType,
+    EqualizationMethod,
+    ModulationType,
+    NoiseType,
+    PowerAllocationType,
+    PrefixType,
+    SimulationConfig,
+)
+from ofdm_tpu import pipeline as pl
+
+from conftest import has_reference
+
+
+def _cfg(**kw) -> SimulationConfig:
+    base = dict(
+        num_bits=2 * 64 * 500,
+        num_subcarriers=64,
+        constellation_order=4,
+        constellation_type=ConstellationType.QAM,
+        channel_type=ChannelType.CUSTOM,
+        channel_model="flat_fading",
+        equalization_method=EqualizationMethod.ZF,
+        prefix_type=PrefixType.CYCLIC,
+        prefix_length_ratio=1.0,
+        snr_db=20.0,
+    )
+    base.update(kw)
+    return SimulationConfig(**base)
+
+
+def test_perfect_channel_low_ber():
+    """QPSK over a flat channel at 20 dB: BER < 0.01 (end_to_end :42-94)."""
+    r = pl.simulate(_cfg())
+    assert r["bit_error_rate"] < 0.01
+    assert r["symbol_error_rate"] < 0.02
+
+
+def test_multipath_cp_zf():
+    """4-QAM multipath + CP + ZF @20dB: BER < 0.05 (end_to_end :96-149)."""
+    r = pl.simulate(_cfg(channel_model="default_multipath"))
+    assert r["bit_error_rate"] < 0.05
+
+
+def test_psk_sc_ofdm():
+    """8-PSK + SC-OFDM round trip through multipath (end_to_end :151-203)."""
+    r = pl.simulate(
+        _cfg(
+            constellation_order=8,
+            constellation_type=ConstellationType.PSK,
+            modulation_type=ModulationType.SC_OFDM,
+            channel_model="default_multipath",
+            equalization_method=EqualizationMethod.MMSE,
+            snr_db=25.0,
+            num_bits=3 * 64 * 500,
+        )
+    )
+    assert r["bit_error_rate"] < 0.05
+
+
+def test_16qam_mmse_awgn20():
+    """16-QAM AWGN@20dB MMSE: BER < 0.1 (end_to_end :205-257)."""
+    r = pl.simulate(
+        _cfg(
+            constellation_order=16,
+            equalization_method=EqualizationMethod.MMSE,
+            channel_model="default_multipath",
+            num_bits=4 * 64 * 500,
+        )
+    )
+    assert r["bit_error_rate"] < 0.1
+
+
+def test_zero_padding_mode():
+    """ZP-OFDM works and is ~equivalent to CP (end_to_end :259-312)."""
+    rcp = pl.simulate(_cfg(channel_model="default_multipath", snr_db=30.0))
+    rzp = pl.simulate(
+        _cfg(channel_model="default_multipath", snr_db=30.0, prefix_type=PrefixType.ZERO)
+    )
+    assert abs(rcp["bit_error_rate"] - rzp["bit_error_rate"]) < 0.02
+
+
+def test_ber_monotonically_improves_with_snr():
+    """BER decreases with SNR over [5..25] dB (end_to_end :444-500)."""
+    bers = []
+    for snr in [5.0, 10.0, 15.0, 20.0, 25.0]:
+        r = pl.simulate(
+            _cfg(
+                constellation_order=16,
+                equalization_method=EqualizationMethod.MMSE,
+                channel_model="two_ray",
+                snr_db=snr,
+                num_bits=4 * 64 * 500,
+            )
+        )
+        bers.append(r["bit_error_rate"])
+    assert all(b1 >= b2 - 0.01 for b1, b2 in zip(bers, bers[1:]))
+    assert bers[0] > bers[-1]
+
+
+def test_no_noise_zero_ber():
+    r = pl.simulate(
+        _cfg(
+            noise_type=NoiseType.NONE,
+            channel_model="severe_multipath",
+            constellation_order=64,
+            num_bits=6 * 64 * 500,
+        )
+    )
+    assert r["bit_error_rate"] == 0.0
+    assert r["symbol_error_rate"] == 0.0
+
+
+def test_result_schema():
+    """Result dict carries the reference's keys (end_to_end :596-655)."""
+    r = pl.simulate(_cfg(), collect_symbols=64)
+    for key in [
+        "num_bits",
+        "num_symbols",
+        "num_subcarriers",
+        "constellation_order",
+        "constellation_scheme",
+        "modulator_type",
+        "prefix_scheme",
+        "prefix_acronym",
+        "equalizator_type",
+        "snr_db",
+        "noise_scheme",
+        "power_allocation_type",
+        "power_allocation_acronym",
+        "adaptive_modulation_mode",
+        "constellation_order_per_subcarrier",
+        "water_level",
+        "title",
+        "subtitle",
+        "allocated_power",
+        "papr_db",
+        "bit_errors",
+        "symbol_errors",
+        "total_bits",
+        "bit_error_rate",
+        "symbol_error_rate",
+        "received_symbols",
+        "transmission_time_ms",
+        "bitrate_mbps",
+        "ofdm_symbols_per_s",
+    ]:
+        assert key in r, key
+    assert r["total_bits"] == 2 * 64 * 500
+    assert len(r["received_symbols"]) == 64
+    assert r["title"] == "CP-OFDM-ZF"
+    assert 0 <= r["bit_error_rate"] <= 1
+
+
+def test_chunked_equals_unchunked_statistically():
+    cfg = _cfg(
+        channel_model="default_multipath",
+        constellation_order=16,
+        equalization_method=EqualizationMethod.MMSE,
+        snr_db=15.0,
+        num_bits=4 * 64 * 2000,
+    )
+    r1 = pl.simulate(cfg, jax.random.PRNGKey(7))
+    r2 = pl.simulate(cfg.replace(symbols_per_chunk=300), jax.random.PRNGKey(7))
+    assert abs(r1["bit_error_rate"] - r2["bit_error_rate"]) < 0.01
+    # Chunk remainder handling: 2000 % 300 != 0 exercised above.
+    assert r2["total_bits"] == cfg.num_bits
+
+
+def test_num_symbols_means_qam_symbols_in_fixed_mode():
+    """FIXED num_symbols semantics (simulation/models.py:409-411)."""
+    cfg = _cfg(num_bits=None, num_symbols=64 * 100, constellation_order=16)
+    setup = pl.prepare(cfg)
+    assert setup.total_bits == 64 * 100 * 4
+    assert setup.num_ofdm_symbols == 100
+
+
+def test_run_to_run_consistency():
+    """Same key -> identical results; different keys -> consistent BER."""
+    cfg = _cfg(channel_model="two_ray", constellation_order=16, snr_db=12.0)
+    a = pl.simulate(cfg, jax.random.PRNGKey(0))
+    b = pl.simulate(cfg, jax.random.PRNGKey(0))
+    assert a["bit_errors"] == b["bit_errors"]
+    c = pl.simulate(cfg, jax.random.PRNGKey(1))
+    assert abs(a["bit_error_rate"] - c["bit_error_rate"]) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Statistical parity vs the reference implementation
+# ---------------------------------------------------------------------------
+
+
+def _run_reference(cfg: SimulationConfig, h):
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from ofdm_based_systems.configuration.enums import (
+        AdaptiveModulationMode as RAMM,
+        ConstellationType as RCT,
+        EqualizationMethod as REM,
+        ModulationType as RMT,
+        NoiseType as RNT,
+        PowerAllocationType as RPA,
+        PrefixType as RPT,
+    )
+    from ofdm_based_systems.simulation.models import Simulation
+
+    sim = Simulation(
+        num_bits=cfg.num_bits,
+        num_symbols=cfg.num_symbols,
+        num_subcarriers=cfg.num_subcarriers,
+        constellation_order=cfg.constellation_order,
+        constellation_scheme=RCT(cfg.constellation_type.value),
+        modulator_type=RMT(cfg.modulation_type.value),
+        prefix_scheme=RPT(cfg.prefix_type.value),
+        prefix_length_ratio=cfg.prefix_length_ratio,
+        equalizator_type=REM(cfg.equalization_method.value),
+        snr_db=cfg.snr_db,
+        noise_scheme=RNT(cfg.noise_type.value),
+        power_allocation_type=RPA(cfg.power_allocation_type.value),
+        adaptive_modulation_mode=RAMM(cfg.adaptive_modulation_mode.value),
+        min_constellation_order=cfg.min_constellation_order,
+        max_constellation_order=cfg.max_constellation_order,
+        desired_symbol_error_rate=cfg.desired_symbol_error_rate,
+        channel_impulse_response=h,
+        verbose=False,
+    )
+    with contextlib.redirect_stdout(io.StringIO()):
+        return sim.run()
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference tree not mounted")
+@pytest.mark.parametrize(
+    "order,eqm,snr,tol",
+    [
+        (64, EqualizationMethod.ZF, 30.0, 0.006),
+        (64, EqualizationMethod.MMSE, 30.0, 0.006),
+        (16, EqualizationMethod.MMSE, 20.0, 0.008),
+    ],
+)
+def test_ber_parity_with_reference(order, eqm, snr, tol):
+    """BER statistically matches the reference code at matched configs."""
+    from ofdm_tpu.models import channels as chm
+
+    h = chm.get_channel("Lin-Phoong_P2")
+    bps = int(np.log2(order))
+    cfg = _cfg(
+        constellation_order=order,
+        equalization_method=eqm,
+        snr_db=snr,
+        num_bits=bps * 64 * 300,
+        channel_model="Lin-Phoong_P2",
+    )
+    ref = _run_reference(cfg, h)
+    ours = pl.simulate(cfg, jax.random.PRNGKey(3))
+    assert abs(ref["bit_error_rate"] - ours["bit_error_rate"]) < tol, (
+        ref["bit_error_rate"],
+        ours["bit_error_rate"],
+    )
+    assert ref["total_bits"] == ours["total_bits"]
+    np.testing.assert_allclose(ref["allocated_power"], ours["allocated_power"], atol=1e-12)
+    # PAPR of OFDM signals concentrates; compare loosely.
+    assert abs(ref["papr_db"] - ours["papr_db"]) < 2.0
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference tree not mounted")
+def test_adaptive_parity_with_reference():
+    """Adaptive mode: identical orders/water level, statistically equal BER."""
+    from ofdm_tpu.models import channels as chm
+
+    h = chm.get_channel("default_multipath")
+    cfg = _cfg(
+        channel_model="default_multipath",
+        equalization_method=EqualizationMethod.MMSE,
+        power_allocation_type=PowerAllocationType.WATERFILLING,
+        adaptive_modulation_mode=AdaptiveModulationMode.CAPACITY_BASED,
+        snr_db=20.0,
+        num_bits=60_000,
+    )
+    ref = _run_reference(cfg, h)
+    setup = pl.prepare(cfg)
+    ours = pl.LinkRunner(setup).run(jax.random.PRNGKey(0))
+    assert ref["constellation_order_per_subcarrier"] == ours["constellation_order_per_subcarrier"]
+    np.testing.assert_allclose(ref["water_level"], ours["water_level"], rtol=1e-12)
+    assert ref["total_bits"] == ours["total_bits"]
+    assert abs(ref["bit_error_rate"] - ours["bit_error_rate"]) < 0.01
