@@ -161,6 +161,12 @@ class SimulationConfig:
     # --- TPU execution knobs (no reference analog) --------------------------
     # Complex dtype for the hot path; "complex64" is the TPU-native choice.
     dtype: str = "complex64"
+    # Execution engine: "planar" runs the f32 planar-complex path (MXU DFT
+    # matmuls, gather-free mapping — required on TPU backends without native
+    # complex/FFT support and fastest there); "complex" uses native complex
+    # dtypes + jnp.fft (CPU/GPU, exact reference-parity testing); "auto"
+    # picks planar on TPU, complex elsewhere.
+    engine: str = "auto"
     # Number of OFDM symbols processed per lax.scan step; the driver picks
     # ceil(num_ofdm_symbols / chunk) steps.  0 = single chunk (exact
     # reference stream semantics for AWGN power measurement).

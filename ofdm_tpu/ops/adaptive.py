@@ -134,6 +134,56 @@ def make_adaptive_mapper(kind: str, orders: NDArray[np.int64]) -> AdaptiveMapper
 # ---------------------------------------------------------------------------
 
 
+def index_mask(m: AdaptiveMapper) -> np.ndarray:
+    """(N,) uint32 mask: order_k - 1 for active subcarriers, 0 for inactive.
+
+    ``uniform_bits & mask`` draws a uniform index per subcarrier — the
+    bit-source and bit-to-symbol distribution collapse into one masked draw
+    (no bit tensors in the hot path)."""
+    return np.where(m.orders > 0, m.orders - 1, 0).astype(np.uint32)
+
+
+def encode_from_indices(
+    idx: jnp.ndarray, m: AdaptiveMapper, dtype=jnp.complex64
+) -> jnp.ndarray:
+    """indices (B, N) -> symbols (B, N) via the padded group tables (complex path)."""
+    flat_tables = jnp.asarray(m.tables.reshape(-1), dtype=dtype)
+    group = jnp.asarray(m.group_id)
+    return jnp.take(flat_tables, group * m.max_order + idx, axis=0)
+
+
+def encode_from_indices_planar(idx: jnp.ndarray, m: AdaptiveMapper):
+    """indices (B, N) -> CArray symbols (B, N), gather-free (TPU path)."""
+    from ofdm_tpu.ops.cplx import CArray
+    from ofdm_tpu.ops.mapping import psk_point_planar, qam_point_planar
+
+    p = _planar_params(m)
+    if m.kind == "QAM":
+        re, im = qam_point_planar(idx, p["m"], p["scale"], m.max_bits)
+    else:
+        re, im = psk_point_planar(idx, p["order"], m.max_bits)
+        re = re * p["active"]
+        im = im * p["active"]
+    return CArray(re, im)
+
+
+def decode_to_indices(symbols, m: AdaptiveMapper) -> jnp.ndarray:
+    """symbols (B, N) -> hard-decision indices (B, N); dispatches on type."""
+    from ofdm_tpu.ops.cplx import CArray
+
+    if isinstance(symbols, CArray):
+        from ofdm_tpu.ops.mapping import psk_index_planar, qam_index_planar
+
+        p = _planar_params(m)
+        if m.kind == "QAM":
+            idx = qam_index_planar(symbols.re, symbols.im, p["m"], p["scale_safe"], m.max_bits)
+        else:
+            idx = psk_index_planar(symbols.re, symbols.im, p["order"], m.max_bits)
+        return idx * p["active_i"]
+    _, idx = decode(symbols, m)
+    return idx
+
+
 def encode(
     bits: jnp.ndarray, m: AdaptiveMapper, dtype=jnp.complex64
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -186,3 +236,93 @@ def _shifts(m: AdaptiveMapper) -> jnp.ndarray:
         np.maximum(m.bits_per_subcarrier[:, None] - 1 - np.arange(m.max_bits)[None, :], 0),
         jnp.int32,
     )
+
+
+# ---------------------------------------------------------------------------
+# Planar (gather-free) encode / decode — the TPU hot path
+# ---------------------------------------------------------------------------
+#
+# The bit (de)interleave becomes a 0/1 selection matmul (exact on a bf16 MXU:
+# all operands are 0/1 or powers of two, accumulation is f32), and the
+# per-subcarrier constellation (de)mapping is the arithmetic Gray/zigzag
+# chain from ops.mapping with *vector* order parameters.  No gathers, no
+# argmax — everything the target TPU backend supports natively.
+
+
+def _pack_weights(m: AdaptiveMapper) -> np.ndarray:
+    """W (S, N): idx[:, k] = sum_p bits[:, p] * W[p, k] (MSB-first widths)."""
+    W = np.zeros((len(m.src_k), m.num_subcarriers), dtype=np.float32)
+    for p, (k, j) in enumerate(zip(m.src_k, m.src_j)):
+        W[p, k] = float(1 << int(m.bits_per_subcarrier[k] - 1 - j))
+    return W
+
+
+def _unpack_select(m: AdaptiveMapper) -> np.ndarray:
+    """G (N*max_bits, S): bits_out = bits_bnj.reshape(B, N*max_bits) @ G."""
+    G = np.zeros((m.num_subcarriers * m.max_bits, len(m.src_k)), dtype=np.float32)
+    for p, (k, j) in enumerate(zip(m.src_k, m.src_j)):
+        G[int(k) * m.max_bits + int(j), p] = 1.0
+    return G
+
+
+def _planar_params(m: AdaptiveMapper):
+    active = m.orders > 0
+    if m.kind == "QAM":
+        mm = np.where(active, np.sqrt(np.maximum(m.orders, 1)).astype(np.int64), 1)
+        scales = np.zeros(m.num_subcarriers, dtype=np.float64)
+        for k, o in enumerate(m.orders):
+            if o > 0:
+                scales[k] = make_constellation("QAM", int(o)).scale
+        return {
+            "m": jnp.asarray(mm, jnp.int32),
+            "scale": jnp.asarray(scales, jnp.float32),
+            "scale_safe": jnp.asarray(np.where(active, scales, 1.0), jnp.float32),
+            "active": jnp.asarray(active.astype(np.float32)),
+            "active_i": jnp.asarray(active.astype(np.int32)),
+        }
+    orders_safe = np.where(active, np.maximum(m.orders, 1), 1)
+    return {
+        "order": jnp.asarray(orders_safe, jnp.int32),
+        "active": jnp.asarray(active.astype(np.float32)),
+        "active_i": jnp.asarray(active.astype(np.int32)),
+    }
+
+
+def encode_planar(bits: jnp.ndarray, m: AdaptiveMapper) -> Tuple["object", jnp.ndarray]:
+    """bits (B, S) -> (CArray symbols (B, N), indices (B, N)); gather-free."""
+    from ofdm_tpu.ops.cplx import CArray
+    from ofdm_tpu.ops.mapping import psk_point_planar, qam_point_planar
+
+    W = jnp.asarray(_pack_weights(m))
+    idx = (
+        jnp.round(jnp.dot(bits.astype(jnp.float32), W, preferred_element_type=jnp.float32))
+        .astype(jnp.int32)
+    )  # (B, N) — exact: 0/1 bits x power-of-two weights, f32 accumulation
+    p = _planar_params(m)
+    if m.kind == "QAM":
+        re, im = qam_point_planar(idx, p["m"], p["scale"], m.max_bits)
+    else:
+        re, im = psk_point_planar(idx, p["order"], m.max_bits)
+        re = re * p["active"]
+        im = im * p["active"]
+    return CArray(re, im), idx
+
+
+def decode_planar(symbols, m: AdaptiveMapper) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """CArray symbols (B, N) -> (bits (B, S), indices (B, N)); gather-free."""
+    from ofdm_tpu.ops.mapping import psk_index_planar, qam_index_planar
+
+    p = _planar_params(m)
+    if m.kind == "QAM":
+        idx = qam_index_planar(symbols.re, symbols.im, p["m"], p["scale_safe"], m.max_bits)
+    else:
+        idx = psk_index_planar(symbols.re, symbols.im, p["order"], m.max_bits)
+    idx = idx * p["active_i"]
+
+    bits_bnj = ((idx[..., None] >> _shifts(m)) & 1).astype(jnp.float32)  # (B, N, max_bits)
+    G = jnp.asarray(_unpack_select(m))
+    flat = bits_bnj.reshape(bits_bnj.shape[0], -1)
+    bits_out = (
+        jnp.round(jnp.dot(flat, G, preferred_element_type=jnp.float32)).astype(jnp.int32)
+    )  # (B, S) — exact 0/1 selection
+    return bits_out, idx

@@ -18,6 +18,10 @@ The reference measures power over the whole stream; under chunked execution
 we measure per chunk (statistically identical for >=10^4 samples; exact when
 symbols_per_chunk=0).  Multi-device sweeps psum the power estimate first so
 every shard uses the global measurement.
+
+All ops are generic over native complex arrays and planar CArray.  On the
+planar path Gaussian noise comes from a Box-Muller transform over raw PRNG
+bits (the target TPU backend lacks the normal-sampling lowering).
 """
 
 from __future__ import annotations
@@ -26,13 +30,17 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from ofdm_tpu.ops import cplx
+from ofdm_tpu.ops.cplx import CArray, Complexish
 
 
 def convolve_blocks(
-    blocks: jnp.ndarray,
-    taps: jnp.ndarray,
-    carry: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    blocks: Complexish,
+    taps: Complexish,
+    carry: Optional[Complexish] = None,
+) -> Tuple[Complexish, Complexish]:
     """Stream-convolve ``blocks`` (B, T) with ``taps`` (K,), K-1 <= T.
 
     Returns ``(out, new_carry)`` where ``out`` equals
@@ -46,41 +54,54 @@ def convolve_blocks(
         raise ValueError(f"Channel order {K - 1} exceeds block length {T}.")
 
     if K == 1:
-        out = blocks * taps[0]
-        new_carry = jnp.zeros((0,), blocks.dtype)
-        return out, new_carry
+        out = taps[0] * blocks
+        return out, cplx.zeros((0,), blocks)
 
     # Full per-row convolution via trace-time-unrolled shifted accumulation:
     # y_full[b, n] = sum_k taps[k] * blocks[b, n - k],   n in [0, T + K - 2].
-    y_full = jnp.zeros((B, T + K - 1), blocks.dtype)
+    y_full = cplx.zeros((B, T + K - 1), blocks)
     for k in range(K):
-        y_full = y_full.at[:, k : k + T].add(taps[k] * blocks)
+        y_full = cplx.at_add(y_full, (slice(None), slice(k, k + T)), taps[k] * blocks)
 
     body = y_full[:, :T]
     tail = y_full[:, T:]  # (B, K-1): spill into the next row
 
     if carry is None:
-        carry = jnp.zeros((K - 1,), blocks.dtype)
-    heads = jnp.concatenate([carry[None, :], tail[:-1]], axis=0)  # (B, K-1)
-    out = body.at[:, : K - 1].add(heads)
+        carry = cplx.zeros((K - 1,), blocks)
+    heads = cplx.concat([carry[None, :], tail[:-1]], axis=0)  # (B, K-1)
+    out = cplx.at_add(body, (slice(None), slice(0, K - 1)), heads)
     return out, tail[-1]
+
+
+def _standard_normal_pair(key: jax.Array, shape) -> CArray:
+    """Two iid N(0,1) planes as a CArray (hardware PRNG kernel on TPU)."""
+    from ofdm_tpu.ops import prng
+
+    z0, z1 = prng.normal_planes(key, shape)
+    return CArray(z0, z1)
 
 
 def awgn(
     key: jax.Array,
-    signal: jnp.ndarray,
+    signal: Complexish,
     snr_db: float,
     measured_power: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
+) -> Complexish:
     """Add complex AWGN scaled off the measured signal power.
 
     ``measured_power`` overrides the local estimate (used by sharded sweeps to
     inject a psum'd global mean, and by colored-noise experiments).
     """
     if measured_power is None:
-        measured_power = jnp.mean(jnp.abs(signal) ** 2)
+        measured_power = cplx.mean_abs2(signal)
     snr_linear = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
     noise_power = measured_power / snr_linear
+
+    if isinstance(signal, CArray):
+        sigma = jnp.sqrt(noise_power / 2.0).astype(signal.re.dtype)
+        z = _standard_normal_pair(key, signal.shape)
+        return signal + CArray(sigma * z.re, sigma * z.im)
+
     kr, ki = jax.random.split(key)
     real_dtype = jnp.real(signal).dtype
     sigma = jnp.sqrt(noise_power / 2.0).astype(real_dtype)
@@ -93,13 +114,13 @@ def awgn(
 
 def transmit(
     key: jax.Array,
-    blocks: jnp.ndarray,
-    taps: jnp.ndarray,
+    blocks: Complexish,
+    taps: Complexish,
     snr_db: float,
     add_noise: bool = True,
-    carry: Optional[jnp.ndarray] = None,
+    carry: Optional[Complexish] = None,
     measured_power: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[Complexish, Complexish]:
     """Channel transmit = stream convolution + (optional) AWGN.
 
     ``taps`` must already be unit-energy normalized

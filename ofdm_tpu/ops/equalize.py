@@ -1,6 +1,7 @@
 """Per-subcarrier one-tap frequency-domain equalizers (ZF / MMSE / none).
 
 Batched over OFDM symbols: ``rx`` is ``(..., N)``; ``H`` is ``(N,)``.
+Generic over native complex arrays and planar CArray (TPU path).
 
 Reference semantics being matched (equalization/models.py):
   * ZF (:22-35): rx / H with H==0 replaced by eps=1e-10.
@@ -20,32 +21,38 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ofdm_tpu.config import EqualizationMethod
+from ofdm_tpu.ops import cplx
+from ofdm_tpu.ops.cplx import CArray, Complexish
 
 _EPS = 1e-10
 
 
-def zero_forcing(rx: jnp.ndarray, h_freq: jnp.ndarray) -> jnp.ndarray:
-    h = jnp.where(h_freq == 0, jnp.asarray(_EPS, h_freq.dtype), h_freq)
+def zero_forcing(rx: Complexish, h_freq: Complexish) -> Complexish:
+    if isinstance(h_freq, CArray):
+        is_zero = (h_freq.re == 0) & (h_freq.im == 0)
+        h = cplx.where(is_zero, CArray(jnp.full_like(h_freq.re, _EPS), jnp.zeros_like(h_freq.im)), h_freq)
+    else:
+        h = jnp.where(h_freq == 0, jnp.asarray(_EPS, h_freq.dtype), h_freq)
     return rx / h
 
 
-def mmse(rx: jnp.ndarray, h_freq: jnp.ndarray, snr_db: jnp.ndarray | float) -> jnp.ndarray:
+def mmse(rx: Complexish, h_freq: Complexish, snr_db) -> Complexish:
     snr_linear = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
-    channel_gain = jnp.mean(jnp.abs(h_freq) ** 2)  # scalar, static per run
+    channel_gain = jnp.mean(cplx.abs2(h_freq))  # scalar, static per run
     # Per-row noise-variance estimate (equalization/models.py:39-49).
-    signal_power = jnp.mean(jnp.abs(rx) ** 2, axis=-1, keepdims=True)
+    signal_power = cplx.mean_abs2(rx, axis=-1, keepdims=True)
     noise_variance = signal_power / snr_linear / channel_gain
-    h_conj = jnp.conj(h_freq)
-    h_abs2 = jnp.abs(h_freq) ** 2
-    return rx * (h_conj / (h_abs2 + noise_variance.astype(h_abs2.dtype)))
+    h_abs2 = cplx.abs2(h_freq)
+    gain = 1.0 / (h_abs2 + noise_variance)  # (..., N) real
+    return rx * cplx.scale(cplx.conj(h_freq), gain)
 
 
 def equalize(
-    rx: jnp.ndarray,
-    h_freq: jnp.ndarray,
+    rx: Complexish,
+    h_freq: Complexish,
     method: EqualizationMethod,
     snr_db: float,
-) -> jnp.ndarray:
+) -> Complexish:
     """Strategy dispatch at trace time (enum is static under jit)."""
     if method == EqualizationMethod.ZF:
         return zero_forcing(rx, h_freq)

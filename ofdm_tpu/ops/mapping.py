@@ -215,6 +215,104 @@ def decode_bits(symbols: jnp.ndarray, const: Constellation, hard: bool = True) -
 
 
 # ---------------------------------------------------------------------------
+# Planar (gather-free) encode / decode — the TPU hot path
+# ---------------------------------------------------------------------------
+#
+# The reference table construction is algebraically invertible, so on TPU we
+# never materialize a gather: the constellation point for index i is computed
+# arithmetically (int XOR/shift chains + affine level maps), and decoding is
+# the same chain backwards.  Verified equal to the table path in tests.
+#
+# QAM: table[i] = grid[gray(zz(i))] with zz = odd-row reversal; grid position
+# p has col = p % m (real, left->right) and row = p // m (imag, top->bottom).
+# PSK: table[i] = exp(2j*pi*inverse_gray(i)/M).
+
+
+def _gray_i32(i: jnp.ndarray) -> jnp.ndarray:
+    return i ^ (i >> 1)
+
+
+def _inverse_gray_i32(g: jnp.ndarray, num_bits: int) -> jnp.ndarray:
+    """Prefix-XOR inverse Gray code, statically unrolled to ceil(log2(bits))."""
+    shift = 1
+    while shift < num_bits:
+        g = g ^ (g >> shift)
+        shift <<= 1
+    return g
+
+
+def _zigzag_i32(i: jnp.ndarray, m) -> jnp.ndarray:
+    """Reverse the column within odd rows of an (m x m) index grid.
+
+    ``m`` may be a scalar or a broadcastable int32 array (adaptive mode)."""
+    row = i // m
+    col = i % m
+    colz = jnp.where(row % 2 == 1, m - 1 - col, col)
+    return row * m + colz
+
+
+def qam_point_planar(idx: jnp.ndarray, m, scale, num_bits: int):
+    """(re, im) of table[idx] for square QAM; m/scale scalar or per-element."""
+    p = _gray_i32(_zigzag_i32(idx, m))
+    col = (p % m).astype(jnp.float32)
+    row = (p // m).astype(jnp.float32)
+    mf = m if isinstance(m, (int, float)) else m.astype(jnp.float32)
+    re = (2.0 * col - (mf - 1.0)) * scale
+    im = ((mf - 1.0) - 2.0 * row) * scale
+    return re, im
+
+
+def qam_index_planar(re, im, m, scale, num_bits: int) -> jnp.ndarray:
+    """Hard-decision index from (re, im) — inverse of qam_point_planar."""
+    mf = m if isinstance(m, (int, float)) else m.astype(jnp.float32)
+    x = re / scale
+    y = im / scale
+    col = jnp.clip(jnp.round((x + (mf - 1.0)) * 0.5), 0, mf - 1.0).astype(jnp.int32)
+    row = jnp.clip(jnp.round(((mf - 1.0) - y) * 0.5), 0, mf - 1.0).astype(jnp.int32)
+    p = row * m + col
+    return _zigzag_i32(_inverse_gray_i32(p, num_bits), m)
+
+
+def psk_point_planar(idx: jnp.ndarray, order, num_bits: int):
+    """(re, im) of table[idx] for M-PSK; order scalar or per-element int32."""
+    p = _inverse_gray_i32(idx, num_bits)
+    of = order if isinstance(order, (int, float)) else order.astype(jnp.float32)
+    ang = (2.0 * np.pi) * p.astype(jnp.float32) / of
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def psk_index_planar(re, im, order, num_bits: int) -> jnp.ndarray:
+    of = order if isinstance(order, (int, float)) else order.astype(jnp.float32)
+    ang = jnp.arctan2(im, re)
+    sector = jnp.round(ang * (of / (2.0 * np.pi))).astype(jnp.int32)
+    o32 = order if isinstance(order, (int, float)) else order
+    sector = sector % o32
+    return _gray_i32(sector)
+
+
+def encode_indices_planar(idx: jnp.ndarray, const: Constellation):
+    """Map int32 indices to a planar CArray of constellation points."""
+    from ofdm_tpu.ops.cplx import CArray
+
+    b = const.bits_per_symbol
+    if const.kind == "QAM":
+        m = int(np.sqrt(const.order))
+        re, im = qam_point_planar(idx, m, np.float32(const.scale), b)
+    else:
+        re, im = psk_point_planar(idx, const.order, b)
+    return CArray(re, im)
+
+
+def decode_hard_planar(symbols, const: Constellation) -> jnp.ndarray:
+    """Hard-decision demap of a planar CArray to int32 table indices."""
+    b = const.bits_per_symbol
+    if const.kind == "QAM":
+        m = int(np.sqrt(const.order))
+        return qam_index_planar(symbols.re, symbols.im, m, np.float32(const.scale), b)
+    return psk_index_planar(symbols.re, symbols.im, const.order, b)
+
+
+# ---------------------------------------------------------------------------
 # Gap-function bit loading (host, float64, vectorized)
 # ---------------------------------------------------------------------------
 

@@ -26,7 +26,25 @@ def bit_errors(tx_bits: jnp.ndarray, rx_bits: jnp.ndarray) -> jnp.ndarray:
     counts in Python integers (arbitrary precision), so total runs can exceed
     2^31 bits without overflow.
     """
-    return jnp.sum((tx_bits ^ rx_bits).astype(jnp.int32))
+    return jnp.sum((tx_bits != rx_bits).astype(jnp.int32))
+
+
+def index_bit_errors(
+    tx_idx: jnp.ndarray, rx_idx: jnp.ndarray, max_bits: int
+) -> jnp.ndarray:
+    """Bit errors between MSB-first index words: popcount(tx ^ rx), summed.
+
+    The constellation index IS the bit word (mapping is index-transparent),
+    so this equals the reference's per-bit comparison without materializing
+    bit tensors.  Valid because both indices are < 2^b per position; the XOR
+    then has no bits above position b-1, so a fixed ``max_bits`` unroll is
+    exact even with per-position widths (adaptive mode).
+    """
+    x = tx_idx ^ rx_idx
+    total = jnp.zeros((), jnp.int32)
+    for j in range(max_bits):
+        total = total + jnp.sum((x >> j) & 1, dtype=jnp.int32)
+    return total
 
 
 def symbol_errors(tx_idx: jnp.ndarray, rx_idx: jnp.ndarray) -> jnp.ndarray:
@@ -34,9 +52,11 @@ def symbol_errors(tx_idx: jnp.ndarray, rx_idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum((tx_idx != rx_idx).astype(jnp.int32))
 
 
-def papr_stats(signal: jnp.ndarray):
+def papr_stats(signal):
     """Running PAPR ingredients for a chunk: (peak_power, power_sum, count)."""
-    p = jnp.abs(signal) ** 2
+    from ofdm_tpu.ops import cplx
+
+    p = cplx.abs2(signal)
     return jnp.max(p), jnp.sum(p), p.size
 
 

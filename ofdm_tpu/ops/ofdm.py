@@ -1,10 +1,14 @@
-"""OFDM / SC-FDE modulation core: ortho FFTs + guard-interval schemes.
+"""OFDM / SC-FDE modulation core: ortho (I)DFT + guard-interval schemes.
 
 Batched over OFDM blocks: every function takes/returns ``(..., N)`` or
 ``(..., N + L)`` arrays and is jit/vmap/shard_map friendly.  This replaces the
 reference's per-row Python list comprehensions (modulation/models.py:35-86)
 and its dense-matrix zero-padding removal (prefix/models.py:88-101) with
 sliced, fused array ops (SURVEY §2.11 items 1 and 6).
+
+All ops are generic over native complex arrays and planar
+:class:`ofdm_tpu.ops.cplx.CArray` (the TPU hot path, where the transform is
+an MXU matmul — see ofdm_tpu.ops.dft).
 
 Reference semantics being matched:
   * OFDM TX: IFFT(norm="ortho") then prefix        (modulation/models.py:27-38)
@@ -19,17 +23,10 @@ Reference semantics being matched:
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ofdm_tpu.config import PrefixType
-
-
-def ifft_ortho(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    return jnp.fft.ifft(x, n=n, axis=-1, norm="ortho")
-
-
-def fft_ortho(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    return jnp.fft.fft(x, n=n, axis=-1, norm="ortho")
+from ofdm_tpu.ops import cplx
+from ofdm_tpu.ops.cplx import Complexish
+from ofdm_tpu.ops.dft import fft_ortho, ifft_ortho  # noqa: F401  (re-exported)
 
 
 # ---------------------------------------------------------------------------
@@ -37,19 +34,18 @@ def fft_ortho(x: jnp.ndarray, n: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def add_prefix(x: jnp.ndarray, prefix_type: PrefixType, prefix_length: int) -> jnp.ndarray:
+def add_prefix(x: Complexish, prefix_type: PrefixType, prefix_length: int) -> Complexish:
     """Add a guard interval along the last axis: (..., N) -> (..., N + L)."""
     if prefix_length == 0 or prefix_type == PrefixType.NONE:
         return x
     if prefix_type == PrefixType.CYCLIC:
-        return jnp.concatenate([x[..., -prefix_length:], x], axis=-1)
+        return cplx.concat([x[..., -prefix_length:], x], axis=-1)
     if prefix_type == PrefixType.ZERO:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, prefix_length)]
-        return jnp.pad(x, pad)
+        return cplx.pad_last(x, 0, prefix_length)
     raise ValueError(f"Unknown prefix type: {prefix_type}")
 
 
-def remove_prefix(x: jnp.ndarray, prefix_type: PrefixType, prefix_length: int) -> jnp.ndarray:
+def remove_prefix(x: Complexish, prefix_type: PrefixType, prefix_length: int) -> Complexish:
     """Remove a guard interval along the last axis: (..., N + L) -> (..., N)."""
     if prefix_length == 0 or prefix_type == PrefixType.NONE:
         return x
@@ -58,9 +54,10 @@ def remove_prefix(x: jnp.ndarray, prefix_type: PrefixType, prefix_length: int) -
     if prefix_type == PrefixType.ZERO:
         # Overlap-add: fold the ZP tail (which carries the ISI spill of this
         # block) back onto the head — restores circular convolution.
-        body = x[..., : x.shape[-1] - prefix_length]
-        tail = x[..., x.shape[-1] - prefix_length :]
-        return body.at[..., :prefix_length].add(tail)
+        n = x.shape[-1] - prefix_length
+        body = x[..., :n]
+        tail = x[..., n:]
+        return cplx.at_add(body, (Ellipsis, slice(0, prefix_length)), tail)
     raise ValueError(f"Unknown prefix type: {prefix_type}")
 
 
@@ -70,26 +67,26 @@ def remove_prefix(x: jnp.ndarray, prefix_type: PrefixType, prefix_length: int) -
 
 
 def ofdm_modulate(
-    symbols: jnp.ndarray, n_sc: int, prefix_type: PrefixType, prefix_length: int
-) -> jnp.ndarray:
+    symbols: Complexish, n_sc: int, prefix_type: PrefixType, prefix_length: int
+) -> Complexish:
     """Frequency-domain symbols (..., N) -> time-domain blocks (..., N + L)."""
     return add_prefix(ifft_ortho(symbols, n_sc), prefix_type, prefix_length)
 
 
 def ofdm_demodulate_to_freq(
-    blocks: jnp.ndarray, n_sc: int, prefix_type: PrefixType, prefix_length: int
-) -> jnp.ndarray:
+    blocks: Complexish, n_sc: int, prefix_type: PrefixType, prefix_length: int
+) -> Complexish:
     """Time blocks (..., N + L) -> unequalized frequency symbols (..., N)."""
     return fft_ortho(remove_prefix(blocks, prefix_type, prefix_length), n_sc)
 
 
 def sc_modulate(
-    symbols: jnp.ndarray, prefix_type: PrefixType, prefix_length: int
-) -> jnp.ndarray:
+    symbols: Complexish, prefix_type: PrefixType, prefix_length: int
+) -> Complexish:
     """SC-FDE TX: time-domain symbols get only a guard interval."""
     return add_prefix(symbols, prefix_type, prefix_length)
 
 
-def sc_demodulate_from_freq(equalized_freq: jnp.ndarray, n_sc: int) -> jnp.ndarray:
+def sc_demodulate_from_freq(equalized_freq: Complexish, n_sc: int) -> Complexish:
     """SC-FDE RX back-end: equalized frequency bins -> time-domain symbols."""
     return ifft_ortho(equalized_freq, n_sc)

@@ -51,8 +51,10 @@ from ofdm_tpu.config import (
 from ofdm_tpu.models import channels as chm
 from ofdm_tpu.ops import adaptive as ad
 from ofdm_tpu.ops import allocate as al
-from ofdm_tpu.ops import bits as bitops
+from ofdm_tpu.ops import bits as bitops  # noqa: F401 (bit-level API for tools)
+from ofdm_tpu.ops import prng
 from ofdm_tpu.ops import channel as ch
+from ofdm_tpu.ops import cplx
 from ofdm_tpu.ops import equalize as eq
 from ofdm_tpu.ops import mapping as mp
 from ofdm_tpu.ops import metrics as mt
@@ -195,10 +197,27 @@ class LinkRunner:
         self.setup = setup
         self._jitted = {}
 
+    # -- engine selection -----------------------------------------------------
+    @property
+    def planar(self) -> bool:
+        engine = self.setup.cfg.engine
+        if engine == "planar":
+            return True
+        if engine == "complex":
+            return False
+        return jax.default_backend() not in ("cpu", "gpu")
+
     # -- device constants ---------------------------------------------------
     def _constants(self):
         s = self.setup
         cdtype = jnp.complex64 if s.cfg.dtype == "complex64" else jnp.complex128
+        if self.planar:
+            return {
+                "taps": cplx.from_complex(s.taps),
+                "h_freq": cplx.from_complex(s.h_freq),
+                "sqrt_power": jnp.asarray(np.sqrt(s.power_allocation), jnp.float32),
+                "cdtype": cdtype,
+            }
         return {
             "taps": jnp.asarray(s.taps, cdtype),
             "h_freq": jnp.asarray(s.h_freq, cdtype),
@@ -214,34 +233,58 @@ class LinkRunner:
         num_syms: int,
         return_symbols: bool = False,
         measured_power: Optional[jnp.ndarray] = None,
+        snr_db: Optional[jnp.ndarray] = None,
+        sqrt_power: Optional[jnp.ndarray] = None,
     ):
         """Process ``num_syms`` OFDM symbols; returns stats + new carry.
 
         Fully traceable: called under jit by `run()` and under shard_map by
         the sweep driver (which supplies a psum'd ``measured_power``).
+
+        ``snr_db`` / ``sqrt_power`` are *traced* scalars/vectors so one
+        compiled executable serves a whole SNR sweep (baking them in as
+        constants would force a recompile per SNR point — on remote-compile
+        TPU relays that dominates wall clock).  They default to the setup's
+        values.  Adaptive mode is inherently per-SNR (the constellation
+        orders are SNR-dependent shapes), so it recompiles per point.
         """
         s = self.setup
         cfg = s.cfg
         n = cfg.num_subcarriers
         c = self._constants()
+        if snr_db is None:
+            snr_db = jnp.float32(cfg.snr_db)
+        if sqrt_power is None:
+            sqrt_power = c["sqrt_power"]
 
         kbits, knoise = jax.random.split(key)
+        planar = self.planar
 
-        # --- TX: bits -> symbols -------------------------------------------
+        # --- TX: random bit-words -> symbols ---------------------------------
+        # Uniform random bits grouped MSB-first into b-bit words ARE uniform
+        # random constellation indices, so the bit source and the mapper's
+        # bit-packing collapse into one masked draw — no bit tensors in the
+        # hot path (bit-level APIs live in ops.bits/ops.mapping for tests).
         if s.is_adaptive:
-            tx_bits = bitops.random_bits(kbits, (num_syms, s.bits_per_ofdm_symbol))
-            symbols, tx_idx = ad.encode(tx_bits, s.amap, dtype=c["cdtype"])
+            tx_idx = prng.uniform_indices(kbits, (num_syms, n), ad.index_mask(s.amap))
+            if planar:
+                symbols = ad.encode_from_indices_planar(tx_idx, s.amap)
+            else:
+                symbols = ad.encode_from_indices(tx_idx, s.amap, dtype=c["cdtype"])
+            max_bits = s.amap.max_bits
         else:
             bps = s.const.bits_per_symbol
-            tx_bits = bitops.random_bits(kbits, (num_syms * n, bps))
-            tx_idx = mp.bits_to_indices(tx_bits, bps)
-            symbols = mp.encode_indices(tx_idx, s.const, dtype=c["cdtype"]).reshape(
-                num_syms, n
+            tx_idx = prng.uniform_indices(
+                kbits, (num_syms, n), np.uint32(s.const.order - 1)
             )
-            tx_idx = tx_idx.reshape(num_syms, n)
+            if planar:
+                symbols = mp.encode_indices_planar(tx_idx, s.const)
+            else:
+                symbols = mp.encode_indices(tx_idx, s.const, dtype=c["cdtype"])
+            max_bits = bps
 
         if cfg.apply_power_allocation:
-            symbols = symbols * c["sqrt_power"].astype(c["cdtype"])
+            symbols = cplx.scale(symbols, sqrt_power)
 
         # --- TX: modulate ----------------------------------------------------
         if cfg.modulation_type == ModulationType.OFDM:
@@ -257,7 +300,7 @@ class LinkRunner:
             knoise,
             blocks,
             c["taps"],
-            cfg.snr_db,
+            snr_db,
             add_noise=add_noise,
             carry=conv_carry,
             measured_power=measured_power,
@@ -265,7 +308,7 @@ class LinkRunner:
 
         # --- RX ---------------------------------------------------------------
         freq = ofdm.ofdm_demodulate_to_freq(rx_blocks, n, cfg.prefix_type, s.prefix_length)
-        eqd = eq.equalize(freq, c["h_freq"], cfg.equalization_method, cfg.snr_db)
+        eqd = eq.equalize(freq, c["h_freq"], cfg.equalization_method, snr_db)
         data = (
             ofdm.sc_demodulate_from_freq(eqd, n)
             if cfg.modulation_type == ModulationType.SC_OFDM
@@ -273,19 +316,20 @@ class LinkRunner:
         )
 
         if cfg.normalize_before_demap:
-            avg = jnp.mean(jnp.abs(data) ** 2)
-            data = jnp.where(avg > 1e-10, data / jnp.sqrt(avg).astype(data.dtype), data)
+            avg = cplx.mean_abs2(data)
+            data = cplx.where(avg > 1e-10, data / jnp.sqrt(avg), data)
 
         # --- demap + metrics ---------------------------------------------------
         if s.is_adaptive:
-            rx_bits, rx_idx = ad.decode(data, s.amap)
+            rx_idx = ad.decode_to_indices(data, s.amap)
         else:
-            rx_idx = mp.decode_hard(data, s.const)
-            rx_bits = mp.indices_to_bits(rx_idx, s.const.bits_per_symbol)
+            rx_idx = mp.decode_hard_planar(data, s.const) if planar else mp.decode_hard(
+                data, s.const
+            )
 
         stats = {
-            "bit_errors": mt.bit_errors(tx_bits, rx_bits.reshape(tx_bits.shape)),
-            "symbol_errors": mt.symbol_errors(tx_idx, rx_idx.reshape(tx_idx.shape)),
+            "bit_errors": mt.index_bit_errors(tx_idx, rx_idx, max_bits),
+            "symbol_errors": mt.symbol_errors(tx_idx, rx_idx),
             "papr_peak": papr_peak,
             "papr_sum": papr_sum,
             "papr_count": jnp.asarray(papr_count, jnp.float32),
@@ -294,50 +338,132 @@ class LinkRunner:
             stats["received_symbols"] = data.reshape(-1)
         return stats, conv_carry
 
+    # (received_symbols is a CArray on the planar engine; run() converts.)
+
     # -- compiled chunk step --------------------------------------------------
     def _step(self, num_syms: int, return_symbols: bool):
-        key_ = (num_syms, return_symbols)
+        key_ = ("step", num_syms, return_symbols)
         if key_ not in self._jitted:
-            fn = lambda key, carry: self.chunk_body(  # noqa: E731
-                key, carry, num_syms, return_symbols
+            fn = lambda key, carry, snr_db, sqrt_power: self.chunk_body(  # noqa: E731
+                key, carry, num_syms, return_symbols,
+                snr_db=snr_db, sqrt_power=sqrt_power,
             )
             self._jitted[key_] = jax.jit(fn)
         return self._jitted[key_]
 
-    def _init_carry(self) -> jnp.ndarray:
+    def _scan(self, num_chunks: int, num_syms: int):
+        """All full chunks under ONE jit dispatch (lax.scan over the carry).
+
+        Per-dispatch latency on remote-relay TPU backends is ~100ms; scanning
+        inside the executable makes a whole Monte-Carlo run one round trip.
+        Per-chunk stats come back stacked (host sums in Python ints, so >2^31
+        total bit errors can't overflow the int32 device counters).
+        """
+        key_ = ("scan", num_chunks, num_syms)
+        if key_ not in self._jitted:
+
+            def f(key, carry0, snr_db, sqrt_power):
+                def body(carry, i):
+                    stats, carry = self.chunk_body(
+                        jax.random.fold_in(key, i),
+                        carry,
+                        num_syms,
+                        False,
+                        snr_db=snr_db,
+                        sqrt_power=sqrt_power,
+                    )
+                    return carry, stats
+                return jax.lax.scan(body, carry0, jnp.arange(num_chunks))
+
+            self._jitted[key_] = jax.jit(f)
+        return self._jitted[key_]
+
+    # -- per-SNR host-side parameters (fixed mode only) -------------------------
+    def point_params(self, snr_db: float):
+        """(power_allocation, water_level) for an SNR point — host f64.
+
+        Fixed mode computes (but does not apply by default) a total_power=1.0
+        allocation per point (simulation/models.py:483-501).
+        """
+        s = self.setup
+        cfg = s.cfg
+        if s.is_adaptive or cfg.power_allocation_type != PowerAllocationType.WATERFILLING:
+            return s.power_allocation, s.water_level
+        noise_power = float(10.0 ** (-snr_db / 10.0))
+        power = al.waterfilling(1.0, s.channel_gains, noise_power)
+        return power, al.water_level(power, s.channel_gains, noise_power)
+
+    def _init_carry(self):
+        k = max(len(self.setup.taps) - 1, 0)
+        if self.planar:
+            return cplx.CArray(jnp.zeros((k,), jnp.float32), jnp.zeros((k,), jnp.float32))
         cdtype = jnp.complex64 if self.setup.cfg.dtype == "complex64" else jnp.complex128
-        return jnp.zeros((max(len(self.setup.taps) - 1, 0),), cdtype)
+        return jnp.zeros((k,), cdtype)
 
     # -- full run ----------------------------------------------------------------
-    def run(self, key: jax.Array, collect_symbols: int = 0) -> Dict[str, Any]:
-        """Execute the whole simulation; returns a reference-style results dict."""
+    def run(
+        self,
+        key: jax.Array,
+        collect_symbols: int = 0,
+        snr_db: Optional[float] = None,
+    ) -> Dict[str, Any]:
+        """Execute the whole simulation; returns a reference-style results dict.
+
+        ``snr_db`` overrides the config's SNR *without recompiling* (fixed
+        mode only): one LinkRunner serves a whole SNR sweep.  Adaptive mode
+        raises — its bit loading is SNR-dependent; build one runner per point.
+        """
         s = self.setup
+        if snr_db is None:
+            snr_db = s.cfg.snr_db
+        elif s.is_adaptive and snr_db != s.cfg.snr_db:
+            raise ValueError(
+                "Adaptive bit loading is SNR-dependent; prepare() a new setup per point."
+            )
+        power_allocation, water_level = self.point_params(snr_db)
+        snr_arr = jnp.float32(snr_db)
+        sqrt_power = jnp.asarray(np.sqrt(power_allocation), jnp.float32)
+
         B = s.num_ofdm_symbols
         chunk = s.cfg.symbols_per_chunk or B
         chunk = min(chunk, B)
 
-        carry = self._init_carry()
         totals = {"bit_errors": 0, "symbol_errors": 0}
         papr_peak, papr_sum, papr_count = 0.0, 0.0, 0
         received_sample = None
 
+        num_full = B // chunk
+        rem = B % chunk
+
+        if collect_symbols > 0:
+            # Replay chunk 0 with symbol capture (same key/carry as the main
+            # accumulation — identical data, tiny extra cost).
+            step0 = self._step(min(chunk, B), True)
+            stats0, _ = step0(
+                jax.random.fold_in(key, 0), self._init_carry(), snr_arr, sqrt_power
+            )
+            received_sample = cplx.to_numpy(stats0["received_symbols"])[:collect_symbols]
+
         t0 = time.perf_counter()
-        done = 0
-        i = 0
-        while done < B:
-            this = min(chunk, B - done)
-            want_syms = collect_symbols > 0 and received_sample is None
-            step = self._step(this, want_syms)
-            stats, carry = step(jax.random.fold_in(key, i), carry)
+        carry = self._init_carry()
+        if num_full > 0:
+            scan = self._scan(num_full, chunk)
+            carry, ys = scan(key, carry, snr_arr, sqrt_power)
+            totals["bit_errors"] += int(np.sum(np.asarray(ys["bit_errors"], np.int64)))
+            totals["symbol_errors"] += int(
+                np.sum(np.asarray(ys["symbol_errors"], np.int64))
+            )
+            papr_peak = max(papr_peak, float(np.max(ys["papr_peak"])))
+            papr_sum += float(np.sum(np.asarray(ys["papr_sum"], np.float64)))
+            papr_count += int(np.sum(np.asarray(ys["papr_count"], np.float64)))
+        if rem > 0:
+            step = self._step(rem, False)
+            stats, carry = step(jax.random.fold_in(key, num_full), carry, snr_arr, sqrt_power)
             totals["bit_errors"] += int(stats["bit_errors"])
             totals["symbol_errors"] += int(stats["symbol_errors"])
             papr_peak = max(papr_peak, float(stats["papr_peak"]))
             papr_sum += float(stats["papr_sum"])
             papr_count += int(stats["papr_count"])
-            if want_syms:
-                received_sample = np.asarray(stats["received_symbols"])[:collect_symbols]
-            done += this
-            i += 1
         elapsed = time.perf_counter() - t0
 
         cfg = s.cfg
@@ -358,7 +484,7 @@ class LinkRunner:
                 cfg.prefix_type.name
             ],
             "equalizator_type": cfg.equalization_method.name,
-            "snr_db": cfg.snr_db,
+            "snr_db": snr_db,
             "noise_scheme": cfg.noise_type.name,
             "power_allocation_type": cfg.power_allocation_type.name,
             "power_allocation_acronym": (
@@ -368,10 +494,10 @@ class LinkRunner:
             ),
             "adaptive_modulation_mode": cfg.adaptive_modulation_mode.name,
             "constellation_order_per_subcarrier": s.constellation_orders.tolist(),
-            "water_level": s.water_level,
+            "water_level": water_level,
             "title": cfg.title,
             "subtitle": cfg.subtitle,
-            "allocated_power": s.power_allocation.tolist(),
+            "allocated_power": power_allocation.tolist(),
             # metrics
             "papr_db": mt.papr_db(papr_peak, papr_sum, papr_count),
             "bit_errors": totals["bit_errors"],
