@@ -86,14 +86,19 @@ def awgn(
     signal: Complexish,
     snr_db: float,
     measured_power: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
 ) -> Complexish:
     """Add complex AWGN scaled off the measured signal power.
 
-    ``measured_power`` overrides the local estimate (used by sharded sweeps to
-    inject a psum'd global mean, and by colored-noise experiments).
+    ``measured_power`` overrides the local estimate (colored-noise
+    experiments).  ``axis_name`` pmean-reduces the power estimate over a mesh
+    axis so every shard of a sharded sweep uses the *global* measurement —
+    matching the reference's whole-stream semantics (noise/models.py:14-16).
     """
     if measured_power is None:
         measured_power = cplx.mean_abs2(signal)
+        if axis_name is not None:
+            measured_power = jax.lax.pmean(measured_power, axis_name)
     snr_linear = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
     noise_power = measured_power / snr_linear
 
@@ -120,6 +125,7 @@ def transmit(
     add_noise: bool = True,
     carry: Optional[Complexish] = None,
     measured_power: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
 ) -> Tuple[Complexish, Complexish]:
     """Channel transmit = stream convolution + (optional) AWGN.
 
@@ -129,5 +135,5 @@ def transmit(
     """
     convolved, new_carry = convolve_blocks(blocks, taps, carry)
     if add_noise:
-        convolved = awgn(key, convolved, snr_db, measured_power)
+        convolved = awgn(key, convolved, snr_db, measured_power, axis_name)
     return convolved, new_carry

@@ -1,0 +1,191 @@
+"""Sharded Monte-Carlo execution + SNR x channel sweep driver.
+
+`ShardedLinkRunner` maps `LinkRunner.chunk_body` over a device mesh with
+`shard_map`: each device simulates an independent slice of the OFDM-symbol
+batch with its own fold_in'd PRNG stream and its own convolution stream
+(SURVEY §7.2 step 7: per-shard independent streams are statistically
+identical to one long stream and avoid halo exchange; the cross-chunk carry
+*within* each shard still makes every shard's stream exactly contiguous).
+The only collectives are:
+
+  * `pmean` of the measured post-channel power (so AWGN scaling matches the
+    reference's global measurement, noise/models.py:14-16), and
+  * `psum` of the bit/symbol error counters.
+
+Both ride ICI within a slice / DCN across hosts; there is no parameter
+traffic in this workload (SURVEY §2.12).
+
+`run_sweep` drives a full SNR x channel grid (the reference's
+`SimulationRunner.run_all`, main.py:217-249) with CSV-upsert-compatible
+result checkpointing so an interrupted grid resumes (SURVEY §5
+checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ofdm_tpu.config import SimulationConfig
+from ofdm_tpu.ops import cplx
+from ofdm_tpu.parallel.mesh import MC_AXIS, make_mesh
+from ofdm_tpu.pipeline import LinkRunner, LinkSetup, prepare
+
+
+class ShardedLinkRunner(LinkRunner):
+    """LinkRunner whose chunks shard the OFDM-symbol batch over a mesh.
+
+    ``num_ofdm_symbols`` and chunk sizes are GLOBAL; each device runs
+    ``global/num_devices`` symbols per chunk.  Error counts returned are
+    global (psum'd).  Requires the batch to divide evenly.
+    """
+
+    def __init__(self, setup: LinkSetup, mesh: Optional[Mesh] = None):
+        super().__init__(setup)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_dev = self.mesh.devices.size
+
+    def _shard_chunk(self, num_syms_global: int, return_symbols: bool):
+        """Build the shard_map'd chunk function for a global chunk size."""
+        if num_syms_global % self.n_dev != 0:
+            raise ValueError(
+                f"chunk of {num_syms_global} OFDM symbols not divisible by "
+                f"{self.n_dev} devices"
+            )
+        local = num_syms_global // self.n_dev
+
+        def fn(key, carry, snr_db, sqrt_power):
+            # carry: per-shard (n_dev, K-1) complex-ish, stacked on axis 0.
+            idx = jax.lax.axis_index(MC_AXIS)
+            k = jax.random.fold_in(key, idx)
+            stats, new_carry = self.chunk_body(
+                k,
+                carry[0],
+                local,
+                return_symbols,
+                snr_db=snr_db,
+                sqrt_power=sqrt_power,
+                axis_name=MC_AXIS,
+            )
+            stats["bit_errors"] = jax.lax.psum(stats["bit_errors"], MC_AXIS)
+            stats["symbol_errors"] = jax.lax.psum(stats["symbol_errors"], MC_AXIS)
+            stats["papr_peak"] = jax.lax.pmax(stats["papr_peak"], MC_AXIS)
+            stats["papr_sum"] = jax.lax.psum(stats["papr_sum"], MC_AXIS)
+            stats["papr_count"] = jax.lax.psum(stats["papr_count"], MC_AXIS)
+            new_carry = jax.tree.map(lambda a: a[None], new_carry)
+            return stats, new_carry
+
+        carry_spec = jax.tree.map(lambda _: P(MC_AXIS), self._init_carry_sharded())
+        out_stats_spec: Dict[str, Any] = {
+            "bit_errors": P(),
+            "symbol_errors": P(),
+            "papr_peak": P(),
+            "papr_sum": P(),
+            "papr_count": P(),
+        }
+        if return_symbols:
+            # Shards concatenate along the batch axis into one global array.
+            out_stats_spec["received_symbols"] = (
+                cplx.CArray(P(MC_AXIS), P(MC_AXIS)) if self.planar else P(MC_AXIS)
+            )
+        return shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(P(), carry_spec, P(), P()),
+            out_specs=(out_stats_spec, carry_spec),
+        ), local
+
+    def _init_carry_sharded(self):
+        base = super()._init_carry()
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a[None], (self.n_dev,) + a.shape), base
+        )
+
+    # Override the compiled step/scan builders to use the sharded chunk.
+    def _step(self, num_syms: int, return_symbols: bool):
+        key_ = ("sstep", num_syms, return_symbols)
+        if key_ not in self._jitted:
+            fn, _ = self._shard_chunk(num_syms, return_symbols)
+            self._jitted[key_] = jax.jit(fn)
+        return self._jitted[key_]
+
+    def _scan(self, num_chunks: int, num_syms: int):
+        key_ = ("sscan", num_chunks, num_syms)
+        if key_ not in self._jitted:
+            fn, _ = self._shard_chunk(num_syms, False)
+
+            def f(key, carry0, snr_db, sqrt_power):
+                def body(carry, i):
+                    stats, carry = fn(
+                        jax.random.fold_in(key, i), carry, snr_db, sqrt_power
+                    )
+                    return carry, stats
+
+                return jax.lax.scan(body, carry0, jnp.arange(num_chunks))
+
+            self._jitted[key_] = jax.jit(f)
+        return self._jitted[key_]
+
+    def _init_carry(self):
+        return self._init_carry_sharded()
+
+
+# ---------------------------------------------------------------------------
+# Grid sweep driver (SNR x channel), with resumable results
+# ---------------------------------------------------------------------------
+
+
+def run_sweep(
+    base_cfg: SimulationConfig,
+    snrs: Optional[Sequence[float]] = None,
+    channels: Optional[Sequence[str]] = None,
+    key: Optional[jax.Array] = None,
+    mesh: Optional[Mesh] = None,
+    sharded: bool = True,
+    collect_symbols: int = 0,
+    results_manager=None,
+) -> List[Dict[str, Any]]:
+    """Run an SNR x channel grid; returns one results dict per point.
+
+    Mirrors `SimulationRunner.run_all` (main.py:217-249) with TPU semantics:
+    fixed-mode points share one compiled executable per channel; adaptive
+    points compile per SNR (orders are SNR-dependent).  If a
+    ``results_manager`` (ofdm_tpu.utils.report.ResultsManager) is supplied,
+    each point is upserted into the BER CSV as soon as it completes, so an
+    interrupted sweep resumes at the grid level like the reference's CSV
+    upsert (main.py:69-101).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    snrs = list(snrs) if snrs is not None else [base_cfg.snr_db]
+    channels = list(channels) if channels is not None else [base_cfg.channel_model]
+
+    results: List[Dict[str, Any]] = []
+    for channel in channels:
+        cfg = base_cfg.replace(channel_model=channel)
+        runner_cls = ShardedLinkRunner if sharded else LinkRunner
+        adaptive = cfg.adaptive_modulation_mode.name == "CAPACITY_BASED"
+        runner = None
+        for snr in snrs:
+            t0 = time.perf_counter()
+            if adaptive or runner is None:
+                setup = prepare(cfg.replace(snr_db=float(snr)))
+                runner = (
+                    runner_cls(setup, mesh=mesh)
+                    if runner_cls is ShardedLinkRunner
+                    else runner_cls(setup)
+                )
+            point_key = jax.random.fold_in(key, len(results))  # deterministic per point
+            r = runner.run(point_key, collect_symbols=collect_symbols, snr_db=float(snr))
+            r["channel_model"] = channel
+            r["wall_time_s"] = time.perf_counter() - t0
+            results.append(r)
+            if results_manager is not None:
+                results_manager.record(r)
+    return results

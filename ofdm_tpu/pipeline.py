@@ -235,6 +235,7 @@ class LinkRunner:
         measured_power: Optional[jnp.ndarray] = None,
         snr_db: Optional[jnp.ndarray] = None,
         sqrt_power: Optional[jnp.ndarray] = None,
+        axis_name: Optional[str] = None,
     ):
         """Process ``num_syms`` OFDM symbols; returns stats + new carry.
 
@@ -304,6 +305,7 @@ class LinkRunner:
             add_noise=add_noise,
             carry=conv_carry,
             measured_power=measured_power,
+            axis_name=axis_name,
         )
 
         # --- RX ---------------------------------------------------------------
