@@ -1,0 +1,71 @@
+"""Pod-scale Monte-Carlo sweep: 10^9+ QAM symbols, 1024 subcarriers, sharded.
+
+BASELINE configs[4] driver: the full SNR grid over a wide-band link, with the
+OFDM-symbol batch sharded over every available chip (multi-host via
+`jax.distributed` when launched per-process on a pod — see
+ofdm_tpu.parallel.mesh.distributed_init).  On one chip this still runs — it
+just takes num_devices times longer.
+
+Defaults are sized for a quick demo; pass --full for the 10^9-symbol run.
+"""
+
+import argparse
+import time
+
+import jax
+
+from ofdm_tpu.config import (
+    ChannelType,
+    EqualizationMethod,
+    PrefixType,
+    SimulationConfig,
+)
+from ofdm_tpu.parallel import ShardedLinkRunner, distributed_init, make_mesh
+from ofdm_tpu.pipeline import prepare
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--full", action="store_true",
+                        help="10^9+ QAM symbols per point (configs[4] scale)")
+    parser.add_argument("--subcarriers", type=int, default=1024)
+    args = parser.parse_args()
+
+    distributed_init()
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    print(f"Mesh: {n_dev} device(s) — {mesh.shape}")
+
+    n = args.subcarriers
+    qam_per_point = (1 << 30) if args.full else (1 << 24)  # 1.07e9 / 16.8M
+    num_ofdm = qam_per_point // n
+    num_ofdm -= num_ofdm % n_dev  # divisible across the mesh
+
+    cfg = SimulationConfig(
+        num_symbols=num_ofdm * n,
+        num_subcarriers=n,
+        constellation_order=64,
+        channel_type=ChannelType.CUSTOM,
+        channel_model="severe_multipath",
+        prefix_type=PrefixType.CYCLIC,
+        prefix_length_ratio=1.0,
+        equalization_method=EqualizationMethod.MMSE,
+        snr_db=20.0,
+        symbols_per_chunk=min(num_ofdm, 8192 * n_dev),
+    )
+    runner = ShardedLinkRunner(prepare(cfg), mesh=mesh)
+    key = jax.random.PRNGKey(0)
+
+    print(f"{num_ofdm:,} OFDM symbols x {n} subcarriers per point "
+          f"({cfg.num_symbols:,} QAM symbols, {cfg.num_symbols * 6:,} bits)")
+    for snr in (0.0, 10.0, 20.0, 30.0):
+        t0 = time.perf_counter()
+        r = runner.run(key, snr_db=snr)
+        dt = time.perf_counter() - t0
+        print(f"  SNR {snr:5.1f} dB: BER {r['bit_error_rate']:.2e}  "
+              f"{r['ofdm_symbols_per_s']:,.0f} OFDM syms/s  "
+              f"({cfg.num_symbols / dt / 1e6:,.1f}M QAM syms/s, wall {dt:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()
