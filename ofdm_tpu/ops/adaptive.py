@@ -134,6 +134,45 @@ def make_adaptive_mapper(kind: str, orders: NDArray[np.int64]) -> AdaptiveMapper
 # ---------------------------------------------------------------------------
 
 
+def calculate_requirements(
+    constellation_orders: NDArray[np.int64], num_ofdm_symbols: int
+) -> Tuple[int, NDArray[np.int64]]:
+    """(total_bits, bits_per_subcarrier) for an order layout.
+
+    Mirrors AdaptiveBitsGenerator.calculate_requirements
+    (bits_generation/models.py:130-163): bits/sc = log2(order) (0 when
+    inactive), total = sum * num_ofdm_symbols.
+    """
+    orders = np.asarray(constellation_orders, dtype=np.int64)
+    bits = np.where(orders > 0, np.log2(np.maximum(orders, 1)).astype(np.int64), 0)
+    return int(bits.sum() * num_ofdm_symbols), bits
+
+
+def calculate_constellation_orders(
+    capacity: NDArray[np.float64],
+    min_order: int,
+    max_order: int,
+    scaling_factor: float,
+    kind: str = "QAM",
+) -> NDArray[np.int64]:
+    """Shannon-capacity-based order selection (constellation/adaptive.py:271-328).
+
+    (The reference keeps this path alive only in its tests — the simulation
+    uses the gap function, simulation/models.py:315-330 — but it is public
+    API there, so it is public here.)  Scale capacity, clip to
+    [0, log2(max_order)], force even bits for QAM / floor for PSK, zero out
+    subcarriers below log2(min_order), return 2^bits.
+    """
+    bits = np.asarray(capacity, dtype=np.float64) * scaling_factor
+    bits = np.clip(bits, 0, np.log2(max_order))
+    if kind == "QAM":
+        bits = bits // 2 * 2
+    else:
+        bits = np.floor(bits)
+    bits = np.where(bits < np.log2(min_order), 0, bits)
+    return np.where(bits > 0, 2 ** bits, 0).astype(np.int64)
+
+
 def index_mask(m: AdaptiveMapper) -> np.ndarray:
     """(N,) uint32 mask: order_k - 1 for active subcarriers, 0 for inactive.
 

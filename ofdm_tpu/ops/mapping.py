@@ -62,7 +62,9 @@ class Constellation:
     ``table[i]`` is the complex point transmitted for bit-word ``i`` (MSB
     first).  ``inv_index`` supports the O(1) hard-decision demapper:
       * QAM: flat (m*m,) table mapping grid position row*m+col -> index.
-      * PSK: unused (the phase slicer composes with gray_code directly).
+      * PSK: unused (the phase slicer composes with the word coding directly).
+    ``coding``: "gray" (reference GrayWordCoder + QAM zig-zag) or "none"
+    (reference NoWordCoder: natural binary order, no reorder).
     """
 
     kind: str  # "QAM" | "PSK"
@@ -70,6 +72,7 @@ class Constellation:
     table: NDArray[np.complex128]  # (M,)
     inv_index: NDArray[np.int32]  # (M,) for QAM; empty for PSK
     scale: float  # QAM grid normalization factor (1 for PSK)
+    coding: str = "gray"
 
     @property
     def bits_per_symbol(self) -> int:
@@ -81,8 +84,12 @@ class Constellation:
 
 
 @lru_cache(maxsize=None)
-def qam_constellation(order: int) -> Constellation:
-    """Square QAM with the reference's Gray + zig-zag layout, unit avg power."""
+def qam_constellation(order: int, coding: str = "gray") -> Constellation:
+    """Square QAM with the reference's Gray + zig-zag layout, unit avg power.
+
+    ``coding="none"`` reproduces the reference NoWordCoder path
+    (constellation/models.py:49-67): natural binary order, no reorder.
+    """
     m = int(np.sqrt(order))
     if m * m != order:
         raise ValueError("Order must be a perfect square (e.g., 4, 16, 64).")
@@ -93,12 +100,17 @@ def qam_constellation(order: int) -> Constellation:
     grid = (levels[None, :] + 1j * levels[::-1, None]).reshape(-1)
 
     idx = np.arange(order, dtype=np.int64)
-    table = grid[gray_code(idx)]
-
-    # Zig-zag: reverse odd index-rows of the table (constellation/models.py:97-108).
-    table = table.reshape(m, m)
-    table[1::2] = table[1::2, ::-1]
-    table = table.reshape(-1)
+    if coding == "gray":
+        table = grid[gray_code(idx)]
+        # Zig-zag: reverse odd index-rows of the table
+        # (constellation/models.py:97-108).
+        table = table.reshape(m, m)
+        table[1::2] = table[1::2, ::-1]
+        table = table.reshape(-1)
+    elif coding == "none":
+        table = grid.copy()
+    else:
+        raise ValueError(f"Unknown word coding: {coding}")
 
     avg_power = np.mean(np.abs(table) ** 2)
     scale = 1.0 / np.sqrt(avg_power)
@@ -113,11 +125,11 @@ def qam_constellation(order: int) -> Constellation:
         row = int(round(((m - 1) - c.imag) / 2))
         inv[row * m + col] = i
 
-    return Constellation("QAM", order, table, inv, float(scale))
+    return Constellation("QAM", order, table, inv, float(scale), coding)
 
 
 @lru_cache(maxsize=None)
-def psk_constellation(order: int) -> Constellation:
+def psk_constellation(order: int, coding: str = "gray") -> Constellation:
     """M-PSK on the unit circle, table[gray(p)] = exp(2j*pi*p/M)."""
     bits = np.log2(order)
     if bits != int(bits) or order < 2:
@@ -125,15 +137,20 @@ def psk_constellation(order: int) -> Constellation:
     p = np.arange(order, dtype=np.int64)
     points = np.exp(2j * np.pi * p / order)
     table = np.zeros(order, dtype=np.complex128)
-    table[gray_code(p)] = points
-    return Constellation("PSK", order, table, np.zeros(0, dtype=np.int32), 1.0)
+    if coding == "gray":
+        table[gray_code(p)] = points
+    elif coding == "none":
+        table[:] = points
+    else:
+        raise ValueError(f"Unknown word coding: {coding}")
+    return Constellation("PSK", order, table, np.zeros(0, dtype=np.int32), 1.0, coding)
 
 
-def make_constellation(kind: str, order: int) -> Constellation:
+def make_constellation(kind: str, order: int, coding: str = "gray") -> Constellation:
     if kind == "QAM":
-        return qam_constellation(order)
+        return qam_constellation(order, coding)
     if kind == "PSK":
-        return psk_constellation(order)
+        return psk_constellation(order, coding)
     raise ValueError(f"Unknown constellation kind: {kind}")
 
 
@@ -205,6 +222,8 @@ def decode_hard(symbols: jnp.ndarray, const: Constellation) -> jnp.ndarray:
     M = const.order
     ang = jnp.arctan2(jnp.imag(symbols), jnp.real(symbols))
     sector = jnp.round(ang * (M / (2.0 * np.pi))).astype(jnp.int32) % M
+    if const.coding == "none":
+        return sector
     return sector ^ (sector >> 1)
 
 
@@ -251,9 +270,9 @@ def _zigzag_i32(i: jnp.ndarray, m) -> jnp.ndarray:
     return row * m + colz
 
 
-def qam_point_planar(idx: jnp.ndarray, m, scale, num_bits: int):
+def qam_point_planar(idx: jnp.ndarray, m, scale, num_bits: int, coding: str = "gray"):
     """(re, im) of table[idx] for square QAM; m/scale scalar or per-element."""
-    p = _gray_i32(_zigzag_i32(idx, m))
+    p = _gray_i32(_zigzag_i32(idx, m)) if coding == "gray" else idx
     col = (p % m).astype(jnp.float32)
     row = (p // m).astype(jnp.float32)
     mf = m if isinstance(m, (int, float)) else m.astype(jnp.float32)
@@ -262,7 +281,7 @@ def qam_point_planar(idx: jnp.ndarray, m, scale, num_bits: int):
     return re, im
 
 
-def qam_index_planar(re, im, m, scale, num_bits: int) -> jnp.ndarray:
+def qam_index_planar(re, im, m, scale, num_bits: int, coding: str = "gray") -> jnp.ndarray:
     """Hard-decision index from (re, im) — inverse of qam_point_planar."""
     mf = m if isinstance(m, (int, float)) else m.astype(jnp.float32)
     x = re / scale
@@ -270,23 +289,27 @@ def qam_index_planar(re, im, m, scale, num_bits: int) -> jnp.ndarray:
     col = jnp.clip(jnp.round((x + (mf - 1.0)) * 0.5), 0, mf - 1.0).astype(jnp.int32)
     row = jnp.clip(jnp.round(((mf - 1.0) - y) * 0.5), 0, mf - 1.0).astype(jnp.int32)
     p = row * m + col
+    if coding == "none":
+        return p
     return _zigzag_i32(_inverse_gray_i32(p, num_bits), m)
 
 
-def psk_point_planar(idx: jnp.ndarray, order, num_bits: int):
+def psk_point_planar(idx: jnp.ndarray, order, num_bits: int, coding: str = "gray"):
     """(re, im) of table[idx] for M-PSK; order scalar or per-element int32."""
-    p = _inverse_gray_i32(idx, num_bits)
+    p = _inverse_gray_i32(idx, num_bits) if coding == "gray" else idx
     of = order if isinstance(order, (int, float)) else order.astype(jnp.float32)
     ang = (2.0 * np.pi) * p.astype(jnp.float32) / of
     return jnp.cos(ang), jnp.sin(ang)
 
 
-def psk_index_planar(re, im, order, num_bits: int) -> jnp.ndarray:
+def psk_index_planar(re, im, order, num_bits: int, coding: str = "gray") -> jnp.ndarray:
     of = order if isinstance(order, (int, float)) else order.astype(jnp.float32)
     ang = jnp.arctan2(im, re)
     sector = jnp.round(ang * (of / (2.0 * np.pi))).astype(jnp.int32)
     o32 = order if isinstance(order, (int, float)) else order
     sector = sector % o32
+    if coding == "none":
+        return sector
     return _gray_i32(sector)
 
 
@@ -297,9 +320,9 @@ def encode_indices_planar(idx: jnp.ndarray, const: Constellation):
     b = const.bits_per_symbol
     if const.kind == "QAM":
         m = int(np.sqrt(const.order))
-        re, im = qam_point_planar(idx, m, np.float32(const.scale), b)
+        re, im = qam_point_planar(idx, m, np.float32(const.scale), b, const.coding)
     else:
-        re, im = psk_point_planar(idx, const.order, b)
+        re, im = psk_point_planar(idx, const.order, b, const.coding)
     return CArray(re, im)
 
 
@@ -308,8 +331,10 @@ def decode_hard_planar(symbols, const: Constellation) -> jnp.ndarray:
     b = const.bits_per_symbol
     if const.kind == "QAM":
         m = int(np.sqrt(const.order))
-        return qam_index_planar(symbols.re, symbols.im, m, np.float32(const.scale), b)
-    return psk_index_planar(symbols.re, symbols.im, const.order, b)
+        return qam_index_planar(
+            symbols.re, symbols.im, m, np.float32(const.scale), b, const.coding
+        )
+    return psk_index_planar(symbols.re, symbols.im, const.order, b, const.coding)
 
 
 # ---------------------------------------------------------------------------
