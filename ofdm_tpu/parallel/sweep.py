@@ -99,6 +99,9 @@ class ShardedLinkRunner(LinkRunner):
             mesh=self.mesh,
             in_specs=(P(), carry_spec, P(), P()),
             out_specs=(out_stats_spec, carry_spec),
+            # Pallas PRNG kernels inside the body have no vma annotations;
+            # skip the varying-mesh-axes check (counters are psum'd manually).
+            check_vma=False,
         ), local
 
     def _init_carry_sharded(self):
