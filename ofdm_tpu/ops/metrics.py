@@ -60,6 +60,34 @@ def papr_stats(signal):
     return jnp.max(p), jnp.sum(p), p.size
 
 
+def ber_confidence_interval(errors: int, total_bits: int, z: float = 1.96):
+    """(low, high) Wilson score interval for a BER estimate.
+
+    SURVEY §4.3(b): BER-curve statistical-equivalence tests should use
+    binomial confidence intervals rather than ad-hoc |delta| thresholds.
+    Wilson is well-behaved at the low error counts of high-SNR points.
+    """
+    import numpy as np
+
+    if total_bits <= 0:
+        return (0.0, 1.0)
+    p = errors / total_bits
+    n = total_bits
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (z / denom) * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    return (max(0.0, center - half), min(1.0, center + half))
+
+
+def ber_equivalent(
+    errors_a: int, bits_a: int, errors_b: int, bits_b: int, z: float = 1.96
+) -> bool:
+    """True when two BER estimates' confidence intervals overlap."""
+    lo_a, hi_a = ber_confidence_interval(errors_a, bits_a, z)
+    lo_b, hi_b = ber_confidence_interval(errors_b, bits_b, z)
+    return hi_a >= lo_b and hi_b >= lo_a
+
+
 def papr_db(peak_power, power_sum, count) -> float:
     """Finalize PAPR in dB from accumulated stats."""
     import numpy as np

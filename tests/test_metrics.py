@@ -1,0 +1,61 @@
+"""Metrics tests: error counters, PAPR, binomial confidence intervals."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ofdm_tpu.ops import cplx
+from ofdm_tpu.ops import metrics as mt
+
+
+def test_bit_and_symbol_errors():
+    tx = jnp.asarray([0, 1, 1, 0], jnp.uint8)
+    rx = jnp.asarray([0, 1, 0, 1], jnp.uint8)
+    assert int(mt.bit_errors(tx, rx)) == 2
+    assert int(mt.symbol_errors(tx, rx)) == 2
+
+
+def test_index_bit_errors_popcount():
+    tx = jnp.asarray([[0b101010, 0b000000]], jnp.int32)
+    rx = jnp.asarray([[0b101001, 0b111111]], jnp.int32)
+    # xor = 0b000011 (2 bits) and 0b111111 (6 bits)
+    assert int(mt.index_bit_errors(tx, rx, 6)) == 8
+
+
+def test_index_bit_errors_equals_bitwise_comparison():
+    rng = np.random.RandomState(0)
+    b = 6
+    tx = rng.randint(0, 64, size=(100, 64))
+    rx = rng.randint(0, 64, size=(100, 64))
+    expected = sum(
+        bin(int(a) ^ int(c)).count("1") for a, c in zip(tx.reshape(-1), rx.reshape(-1))
+    )
+    got = int(mt.index_bit_errors(jnp.asarray(tx, jnp.int32), jnp.asarray(rx, jnp.int32), b))
+    assert got == expected
+
+
+def test_papr():
+    sig = jnp.asarray(np.array([1.0, 1.0, 2.0, 0.0]), jnp.complex64)
+    peak, total, count = mt.papr_stats(sig)
+    # powers: 1,1,4,0 -> peak 4, mean 1.5 -> 10log10(8/3)
+    assert mt.papr_db(float(peak), float(total), int(count)) == \
+        np.float64(10 * np.log10(4 / 1.5))
+    # planar path
+    peak2, total2, count2 = mt.papr_stats(cplx.from_complex(np.array([1.0, 2.0j])))
+    assert float(peak2) == 4.0
+
+
+def test_wilson_interval_properties():
+    lo, hi = mt.ber_confidence_interval(19, 1000)
+    assert lo < 0.019 < hi
+    # Shrinks with more data.
+    lo2, hi2 = mt.ber_confidence_interval(1900, 100000)
+    assert (hi2 - lo2) < (hi - lo)
+    # Zero errors still gives a sensible upper bound.
+    lo3, hi3 = mt.ber_confidence_interval(0, 10000)
+    assert lo3 == 0.0 and 0 < hi3 < 0.001
+    assert mt.ber_confidence_interval(0, 0) == (0.0, 1.0)
+
+
+def test_ber_equivalent():
+    assert mt.ber_equivalent(190, 10000, 200, 10000)
+    assert not mt.ber_equivalent(100, 10000, 500, 10000)
