@@ -179,6 +179,10 @@ class SimulationConfig:
     # (commented out in the reference main path, simulation/models.py:574-586,
     # enabled in experiment scripts / NORMALIZATION_FIX.md).
     normalize_before_demap: bool = False
+    # Hot-path layout: "auto" uses the batch-minor fused chunk (ops/fused.py)
+    # for planar fixed-mode runs (fastest on TPU); "generic" forces the
+    # batch-major generic chunk; "batchminor" forces the fused one.
+    hotpath: str = "auto"
 
     def __post_init__(self) -> None:
         if self.num_bits is None and self.num_symbols is None:

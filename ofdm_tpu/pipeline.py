@@ -252,6 +252,21 @@ class LinkRunner:
         s = self.setup
         cfg = s.cfg
         n = cfg.num_subcarriers
+        planar = self.planar
+
+        # Batch-minor fused hot path (ops/fused.py): planar fixed mode.
+        use_bm = cfg.hotpath == "batchminor" or (
+            cfg.hotpath == "auto" and planar and not s.is_adaptive
+        )
+        if use_bm:
+            from ofdm_tpu.ops import fused
+
+            return fused.chunk_body_batchminor(
+                self, key, conv_carry, num_syms, return_symbols,
+                snr_db=snr_db, sqrt_power=sqrt_power,
+                measured_power=measured_power, axis_name=axis_name,
+            )
+
         c = self._constants()
         if snr_db is None:
             snr_db = jnp.float32(cfg.snr_db)
@@ -259,7 +274,6 @@ class LinkRunner:
             sqrt_power = c["sqrt_power"]
 
         kbits, knoise = jax.random.split(key)
-        planar = self.planar
 
         # --- TX: random bit-words -> symbols ---------------------------------
         # Uniform random bits grouped MSB-first into b-bit words ARE uniform
