@@ -179,9 +179,9 @@ class SimulationConfig:
     # (commented out in the reference main path, simulation/models.py:574-586,
     # enabled in experiment scripts / NORMALIZATION_FIX.md).
     normalize_before_demap: bool = False
-    # Hot-path layout: "auto" uses the batch-minor fused chunk (ops/fused.py)
-    # for planar fixed-mode runs (fastest on TPU); "generic" forces the
-    # batch-major generic chunk; "batchminor" forces the fused one.
+    # Hot-path layout: "auto"/"generic" = batch-major generic chunk (measured
+    # fastest on the target TPU: 8.56M vs 5.42M OFDM syms/s); "batchminor"
+    # selects the (time, batch)-layout fused chunk in ops/fused.py.
     hotpath: str = "auto"
 
     def __post_init__(self) -> None:

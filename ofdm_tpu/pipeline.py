@@ -254,10 +254,10 @@ class LinkRunner:
         n = cfg.num_subcarriers
         planar = self.planar
 
-        # Batch-minor fused hot path (ops/fused.py): planar fixed mode.
-        use_bm = cfg.hotpath == "batchminor" or (
-            cfg.hotpath == "auto" and planar and not s.is_adaptive
-        )
+        # Batch-minor fused hot path (ops/fused.py) is opt-in: measured slower
+        # than the generic batch-major chunk on the target TPU (5.4M vs 8.6M
+        # OFDM syms/s at the bench config), kept as a layout experiment.
+        use_bm = cfg.hotpath == "batchminor" and not s.is_adaptive and planar
         if use_bm:
             from ofdm_tpu.ops import fused
 
