@@ -1,0 +1,137 @@
+"""Matmul-form link operators: modulate/convolve/demodulate as MXU matrices.
+
+Profiling on the target TPU showed the tap-unrolled stream convolution
+dominating the chunk (lane-offset dynamic-update-slices force full-array
+relayouts).  Every linear stage of the link is, mathematically, a small
+matrix acting on the time/frequency axis, so the planar hot path can instead
+run four batched matmuls per chunk:
+
+    x = X @ F_tx            IDFT + guard insertion          (N  -> T)
+    y = x @ T0 + prev(x) @ T1   banded-Toeplitz stream conv (T  -> T)
+    Y = y @ R               guard removal (CP strip / ZP overlap-add) + DFT
+                                                            (T  -> N)
+
+where ``prev(x)`` is x shifted one OFDM symbol down the batch axis (the
+cross-symbol ISI — the tail of symbol b spills into symbol b+1), carrying the
+last row across chunks so the stream convolution stays bit-equivalent to
+``np.convolve(stream)[:len]`` (channel/models.py:46-62 semantics).
+
+All matrices are precomputed host-side in complex128 and applied with the
+precise bf16x3 Karatsuba matmul (ops.cplx.matmul).  T = N + L.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ofdm_tpu.config import ModulationType, PrefixType
+from ofdm_tpu.ops import cplx
+from ofdm_tpu.ops.cplx import CArray
+from ofdm_tpu.ops.dft import dft_matrix
+
+
+@lru_cache(maxsize=None)
+def tx_matrix(
+    n: int, prefix: PrefixType, L: int, modulation: ModulationType
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(re, im) of F_tx (N, T): frequency symbols -> time block with guard.
+
+    OFDM: orthonormal IDFT then CP prepend / ZP append.  SC-FDE: identity
+    (symbols are already time domain) then guard.
+    """
+    if modulation == ModulationType.OFDM:
+        fr, fi = dft_matrix(n, inverse=True)
+        base = fr + 1j * fi  # (N, N), symmetric
+    else:
+        base = np.eye(n, dtype=np.complex128)
+    if L == 0 or prefix == PrefixType.NONE:
+        out = base
+    elif prefix == PrefixType.CYCLIC:
+        out = np.concatenate([base[:, n - L :], base], axis=1)  # (N, N+L)
+    elif prefix == PrefixType.ZERO:
+        out = np.concatenate([base, np.zeros((n, L), np.complex128)], axis=1)
+    else:
+        raise ValueError(prefix)
+    return np.ascontiguousarray(out.real), np.ascontiguousarray(out.imag)
+
+
+def conv_matrices(taps: np.ndarray, T: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(T0, T1) complex (T, T): intra-symbol and previous-symbol Toeplitz bands.
+
+    y[b] = x[b] @ T0 + x[b-1] @ T1 equals the stream convolution restricted
+    to symbol b's samples: T0[j, m] = h[m-j] (0 <= m-j < K) and
+    T1[j, m] = h[T+m-j] (0 < T+m-j < K).
+    """
+    K = len(taps)
+    T0 = np.zeros((T, T), np.complex128)
+    T1 = np.zeros((T, T), np.complex128)
+    for k in range(K):
+        # T0: output m = j + k.
+        idx = np.arange(T - k)
+        T0[idx, idx + k] = taps[k]
+        # T1: output m = j + k - T (j near the end, m near the start).
+        if k >= 1:
+            jdx = np.arange(T - k, T)
+            mdx = jdx + k - T
+            T1[jdx, mdx] = taps[k]
+    return T0, T1
+
+
+@lru_cache(maxsize=None)
+def rx_matrix(
+    n: int, prefix: PrefixType, L: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(re, im) of R (T, N): guard removal + orthonormal DFT.
+
+    CP: drop the first L samples.  ZP: overlap-add the tail onto the head
+    (equivalent to the reference's dense [I | overlap] matrix,
+    prefix/models.py:88-101, fused with the DFT).
+    """
+    fr, fi = dft_matrix(n, inverse=False)
+    F = fr + 1j * fi  # (N, N)
+    T = n + L
+    R = np.zeros((T, n), np.complex128)
+    if L == 0 or prefix == PrefixType.NONE:
+        R[:, :] = F
+    elif prefix == PrefixType.CYCLIC:
+        R[L:, :] = F
+    elif prefix == PrefixType.ZERO:
+        R[:n, :] = F
+        R[n:, :] = F[:L, :]  # tail adds onto head rows
+    else:
+        raise ValueError(prefix)
+    return np.ascontiguousarray(R.real), np.ascontiguousarray(R.imag)
+
+
+def _mm(x: CArray, mats: Tuple[np.ndarray, np.ndarray]) -> CArray:
+    return cplx.matmul(x, jnp.asarray(mats[0], jnp.float32), jnp.asarray(mats[1], jnp.float32))
+
+
+def modulate(
+    symbols: CArray, n: int, prefix: PrefixType, L: int, modulation: ModulationType
+) -> CArray:
+    """(B, N) frequency/time symbols -> (B, T) guarded time blocks."""
+    return _mm(symbols, tx_matrix(n, prefix, L, modulation))
+
+
+def convolve(
+    blocks: CArray,
+    t0: Tuple[jnp.ndarray, jnp.ndarray],
+    t1: Tuple[jnp.ndarray, jnp.ndarray],
+    carry_row: Optional[CArray] = None,
+) -> Tuple[CArray, CArray]:
+    """Stream conv via two Toeplitz matmuls; returns (out, last_row_carry)."""
+    if carry_row is None:
+        carry_row = cplx.zeros((blocks.shape[-1],), blocks)
+    prev = cplx.concat([carry_row[None, :], blocks[:-1]], axis=0)
+    out = cplx.matmul(blocks, t0[0], t0[1]) + cplx.matmul(prev, t1[0], t1[1])
+    return out, blocks[-1]
+
+
+def demodulate(y: CArray, n: int, prefix: PrefixType, L: int) -> CArray:
+    """(B, T) received blocks -> (B, N) unequalized frequency symbols."""
+    return _mm(y, rx_matrix(n, prefix, L))

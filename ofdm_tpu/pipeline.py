@@ -56,6 +56,7 @@ from ofdm_tpu.ops import prng
 from ofdm_tpu.ops import channel as ch
 from ofdm_tpu.ops import cplx
 from ofdm_tpu.ops import equalize as eq
+from ofdm_tpu.ops import linops
 from ofdm_tpu.ops import mapping as mp
 from ofdm_tpu.ops import metrics as mt
 from ofdm_tpu.ops import ofdm
@@ -212,11 +213,15 @@ class LinkRunner:
         s = self.setup
         cdtype = jnp.complex64 if s.cfg.dtype == "complex64" else jnp.complex128
         if self.planar:
+            T = s.block_length
+            t0, t1 = linops.conv_matrices(s.taps, T)
             return {
                 "taps": cplx.from_complex(s.taps),
                 "h_freq": cplx.from_complex(s.h_freq),
                 "sqrt_power": jnp.asarray(np.sqrt(s.power_allocation), jnp.float32),
                 "cdtype": cdtype,
+                "conv_t0": (jnp.asarray(t0.real, jnp.float32), jnp.asarray(t0.imag, jnp.float32)),
+                "conv_t1": (jnp.asarray(t1.real, jnp.float32), jnp.asarray(t1.imag, jnp.float32)),
             }
         return {
             "taps": jnp.asarray(s.taps, cdtype),
@@ -301,29 +306,48 @@ class LinkRunner:
         if cfg.apply_power_allocation:
             symbols = cplx.scale(symbols, sqrt_power)
 
-        # --- TX: modulate ----------------------------------------------------
-        if cfg.modulation_type == ModulationType.OFDM:
-            blocks = ofdm.ofdm_modulate(symbols, n, cfg.prefix_type, s.prefix_length)
-        else:  # SC-OFDM / SC-FDE: prefix only (modulation/models.py:67-72)
-            blocks = ofdm.sc_modulate(symbols, cfg.prefix_type, s.prefix_length)
-
-        papr_peak, papr_sum, papr_count = mt.papr_stats(blocks)
-
-        # --- channel ---------------------------------------------------------
         add_noise = cfg.noise_type == NoiseType.AWGN
-        rx_blocks, conv_carry = ch.transmit(
-            knoise,
-            blocks,
-            c["taps"],
-            snr_db,
-            add_noise=add_noise,
-            carry=conv_carry,
-            measured_power=measured_power,
-            axis_name=axis_name,
-        )
+        use_mm = planar and cfg.hotpath in ("auto", "matmul")
+        if use_mm:
+            # Matmul-form link operators (ops/linops.py): IDFT+guard, the
+            # banded-Toeplitz stream convolution, and guard-strip+DFT are
+            # three MXU matmuls — measured ~4x faster than the tap-unrolled
+            # convolution on the target TPU (lane-offset updates relayout).
+            blocks = linops.modulate(
+                symbols, n, cfg.prefix_type, s.prefix_length, cfg.modulation_type
+            )
+            papr_peak, papr_sum, papr_count = mt.papr_stats(blocks)
+            rx_blocks, conv_carry = linops.convolve(
+                blocks, c["conv_t0"], c["conv_t1"], conv_carry
+            )
+            if add_noise:
+                rx_blocks = ch.awgn(
+                    knoise, rx_blocks, snr_db, measured_power, axis_name
+                )
+            freq = linops.demodulate(rx_blocks, n, cfg.prefix_type, s.prefix_length)
+        else:
+            # --- TX: modulate ------------------------------------------------
+            if cfg.modulation_type == ModulationType.OFDM:
+                blocks = ofdm.ofdm_modulate(symbols, n, cfg.prefix_type, s.prefix_length)
+            else:  # SC-OFDM / SC-FDE: prefix only (modulation/models.py:67-72)
+                blocks = ofdm.sc_modulate(symbols, cfg.prefix_type, s.prefix_length)
 
-        # --- RX ---------------------------------------------------------------
-        freq = ofdm.ofdm_demodulate_to_freq(rx_blocks, n, cfg.prefix_type, s.prefix_length)
+            papr_peak, papr_sum, papr_count = mt.papr_stats(blocks)
+
+            # --- channel -------------------------------------------------------
+            rx_blocks, conv_carry = ch.transmit(
+                knoise,
+                blocks,
+                c["taps"],
+                snr_db,
+                add_noise=add_noise,
+                carry=conv_carry,
+                measured_power=measured_power,
+                axis_name=axis_name,
+            )
+            freq = ofdm.ofdm_demodulate_to_freq(
+                rx_blocks, n, cfg.prefix_type, s.prefix_length
+            )
         eqd = eq.equalize(freq, c["h_freq"], cfg.equalization_method, snr_db)
         data = (
             ofdm.sc_demodulate_from_freq(eqd, n)
@@ -410,9 +434,14 @@ class LinkRunner:
         return power, al.water_level(power, s.channel_gains, noise_power)
 
     def _init_carry(self):
-        k = max(len(self.setup.taps) - 1, 0)
         if self.planar:
+            if self.setup.cfg.hotpath in ("auto", "matmul"):
+                # Matmul-form conv carries the previous chunk's last time row.
+                t = self.setup.block_length
+                return cplx.CArray(jnp.zeros((t,), jnp.float32), jnp.zeros((t,), jnp.float32))
+            k = max(len(self.setup.taps) - 1, 0)
             return cplx.CArray(jnp.zeros((k,), jnp.float32), jnp.zeros((k,), jnp.float32))
+        k = max(len(self.setup.taps) - 1, 0)
         cdtype = jnp.complex64 if self.setup.cfg.dtype == "complex64" else jnp.complex128
         return jnp.zeros((k,), cdtype)
 
