@@ -19,7 +19,6 @@ statistical; seeded runs of this framework remain reproducible per backend.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -41,7 +41,6 @@ from numpy.typing import NDArray
 
 from ofdm_tpu.config import (
     AdaptiveModulationMode,
-    EqualizationMethod,
     ModulationType,
     NoiseType,
     PowerAllocationType,
