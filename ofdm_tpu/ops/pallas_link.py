@@ -1,0 +1,344 @@
+"""Fully fused Pallas chunk kernel: the whole link step in one kernel.
+
+One `pallas_call` executes an entire Monte-Carlo chunk for the fixed-QAM
+OFDM link: per grid step it draws a tile of random constellation indices
+(hardware PRNG), maps them arithmetically, runs the four matmul-form link
+operators (ops/linops.py matrices: IDFT+guard, the two Toeplitz convolution
+bands, guard-strip+DFT) on the MXU with bf16x3-split passes, adds Box-Muller
+AWGN, equalizes, demaps, and accumulates BER/SER/PAPR partials — all without
+leaving VMEM (SURVEY §7.2 step 8, the "speed-of-light pass").
+
+Supported configuration (falls back to the XLA hot path otherwise):
+fixed-mode square QAM, OFDM, CP/ZP/no guard, ZF/MMSE/none equalizer, AWGN or
+no noise, no TX power scaling, no pre-demap normalization.
+
+Cross-symbol ISI carry: within a tile the "previous symbol" row comes from
+`pltpu.roll` along sublanes; across tiles a VMEM scratch holds the last time
+row (TPU grid steps run sequentially); across chunks it round-trips as a
+kernel input/output.
+
+AWGN power measurement is per tile (~Bt*T samples) rather than per chunk —
+statistically identical for the tile sizes used (>= 64k samples); the bench
+BER gate pins this.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ofdm_tpu.config import (
+    EqualizationMethod,
+    ModulationType,
+    NoiseType,
+    PrefixType,
+)
+from ofdm_tpu.ops import cplx, linops
+from ofdm_tpu.ops.cplx import CArray
+
+_TILE = 1024  # OFDM symbols per grid step
+_INV_2_24 = float(1.0 / 16777216.0)
+
+
+def _split_const(w: np.ndarray):
+    """f32 matrix -> (bf16 hi, bf16 lo) host-side split (exact hi+lo == w)."""
+    w32 = np.asarray(w, np.float32)
+    hi = w32.astype(jnp.bfloat16)
+    lo = (w32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+    return np.asarray(hi), np.asarray(lo)
+
+
+def _complex_matrix_consts(re: np.ndarray, im: np.ndarray):
+    """bf16 splits of (re, im, re+im) for a Karatsuba complex matmul."""
+    out = []
+    for m in (re, im, re + im):
+        out.extend(_split_const(m))
+    return out  # [r_hi, r_lo, i_hi, i_lo, s_hi, s_lo]
+
+
+def _mm3(xh, xl, w_hi, w_lo):
+    """~f32 real matmul with bf16 operands: xh/xl are bf16 splits of x."""
+    d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)  # noqa: E731
+    return d(xh, w_hi) + (d(xh, w_lo) + d(xl, w_hi))
+
+
+def _split_act(x):
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return xh, xl
+
+
+def _cmatmul(xr, xi, consts):
+    """Karatsuba complex matmul with bf16x3 precision; consts from
+    _complex_matrix_consts (6 refs)."""
+    r_hi, r_lo, i_hi, i_lo, s_hi, s_lo = consts
+    xrh, xrl = _split_act(xr)
+    xih, xil = _split_act(xi)
+    xsh, xsl = _split_act(xr + xi)
+    p1 = _mm3(xrh, xrl, r_hi, r_lo)
+    p2 = _mm3(xih, xil, i_hi, i_lo)
+    p3 = _mm3(xsh, xsl, s_hi, s_lo)
+    return p1 - p2, p3 - p1 - p2
+
+
+def _uniform24(shape):
+    b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    return ((b >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24
+
+
+def make_pallas_chunk(runner, num_syms: int):
+    """Build the fused chunk fn for `runner` or return None if unsupported.
+
+    Returned callable: fn(key, carry: CArray (T,), snr_db, sqrt_power)
+    -> (stats dict, new_carry), matching LinkRunner.chunk_body's contract.
+    """
+    s = runner.setup
+    cfg = s.cfg
+    if (
+        s.is_adaptive
+        or cfg.constellation_type.value != "QAM"
+        or cfg.modulation_type != ModulationType.OFDM
+        or cfg.apply_power_allocation
+        or cfg.normalize_before_demap
+        or num_syms % _TILE != 0
+        or jax.default_backend() in ("cpu", "gpu")
+    ):
+        return None
+
+    n = cfg.num_subcarriers
+    L = s.prefix_length
+    T = n + L
+    order = cfg.constellation_order
+    m_side = int(np.sqrt(order))
+    bits = s.const.bits_per_symbol
+    scale = np.float32(s.const.scale)
+    tiles = num_syms // _TILE
+    add_noise = cfg.noise_type == NoiseType.AWGN
+    method = cfg.equalization_method
+
+    # --- host-precomputed matrix constants ---------------------------------
+    ftx = linops.tx_matrix(n, cfg.prefix_type, L, cfg.modulation_type)
+    t0, t1 = linops.conv_matrices(s.taps, T)
+    rxm = linops.rx_matrix(n, cfg.prefix_type, L)
+    consts = (
+        _complex_matrix_consts(*ftx)
+        + _complex_matrix_consts(t0.real, t0.imag)
+        + _complex_matrix_consts(t1.real, t1.imag)
+        + _complex_matrix_consts(*rxm)
+    )  # 24 arrays
+    h = s.h_freq.astype(np.complex128)
+    h_re = np.asarray(h.real, np.float32).reshape(1, n)
+    h_im = np.asarray(h.imag, np.float32).reshape(1, n)
+    h_abs2 = np.asarray(np.abs(h) ** 2, np.float32).reshape(1, n)
+    channel_gain = np.float32(np.mean(np.abs(h) ** 2))
+    zf_guard = np.where(h_abs2 == 0, np.float32(1e-20), h_abs2)
+
+    def _gray(i):
+        return i ^ (i >> 1)
+
+    def _inv_gray(g):
+        shift = 1
+        while shift < bits:
+            g = g ^ (g >> shift)
+            shift <<= 1
+        return g
+
+    logm = int(np.log2(m_side))
+
+    def kernel(
+        seed_ref,  # SMEM (3,): key0, key1, snr bits handled separately
+        snr_ref,  # SMEM (1,) f32
+        carry_re_ref,  # (1, T)
+        carry_im_ref,
+        *refs,
+    ):
+        (
+            ftx_c0, ftx_c1, ftx_c2, ftx_c3, ftx_c4, ftx_c5,
+            t0_c0, t0_c1, t0_c2, t0_c3, t0_c4, t0_c5,
+            t1_c0, t1_c1, t1_c2, t1_c3, t1_c4, t1_c5,
+            rx_c0, rx_c1, rx_c2, rx_c3, rx_c4, rx_c5,
+            hre_ref, him_ref, habs2_ref, zfg_ref,
+            be_ref, se_ref, pmax_ref, psum_ref, cout_re_ref, cout_im_ref,
+            prev_re, prev_im,
+        ) = refs
+        i = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527), seed_ref[1])
+        # Mosaic lacks scalar powf; 10^(x/10) == exp(x * ln(10)/10).
+        snr_lin = jnp.exp(snr_ref[0] * np.float32(np.log(10.0) / 10.0))
+
+        # --- TX: random indices -> QAM points (arith Gray/zigzag) ----------
+        raw = pltpu.bitcast(pltpu.prng_random_bits((_TILE, n)), jnp.int32)
+        tx_idx = raw & (order - 1)
+        row = tx_idx >> logm
+        col = tx_idx & (m_side - 1)
+        colz = jnp.where((row & 1) == 1, m_side - 1 - col, col)
+        p = _gray((row << logm) | colz)
+        c2 = (p & (m_side - 1)).astype(jnp.float32)
+        r2 = (p >> logm).astype(jnp.float32)
+        sr = (2.0 * c2 - (m_side - 1)) * scale
+        si = ((m_side - 1) - 2.0 * r2) * scale
+
+        # --- modulate (IDFT + guard) ------------------------------------------
+        xr, xi = _cmatmul(sr, si, (ftx_c0[:], ftx_c1[:], ftx_c2[:], ftx_c3[:], ftx_c4[:], ftx_c5[:]))
+
+        # PAPR partials
+        pwr = xr * xr + xi * xi
+        @pl.when(i == 0)
+        def _():
+            pmax_ref[0, 0] = jnp.max(pwr)
+            psum_ref[0, 0] = jnp.sum(pwr)
+        @pl.when(i != 0)
+        def _():
+            pmax_ref[0, 0] = jnp.maximum(pmax_ref[0, 0], jnp.max(pwr))
+            psum_ref[0, 0] = psum_ref[0, 0] + jnp.sum(pwr)
+
+        # --- convolution: intra band + previous-symbol band -----------------
+        yr, yi = _cmatmul(xr, xi, (t0_c0[:], t0_c1[:], t0_c2[:], t0_c3[:], t0_c4[:], t0_c5[:]))
+        # previous rows: roll down one sublane; row 0 <- carry
+        pxr = pltpu.roll(xr, 1, 0)
+        pxi = pltpu.roll(xi, 1, 0)
+        first = jax.lax.broadcasted_iota(jnp.int32, (_TILE, T), 0) == 0
+
+        @pl.when(i == 0)
+        def _():
+            prev_re[:] = jnp.where(first, carry_re_ref[0, :][None, :], pxr)
+            prev_im[:] = jnp.where(first, carry_im_ref[0, :][None, :], pxi)
+
+        @pl.when(i != 0)
+        def _():
+            prev_re[:] = jnp.where(first, cout_re_ref[0, :][None, :], pxr)
+            prev_im[:] = jnp.where(first, cout_im_ref[0, :][None, :], pxi)
+
+        y1r, y1i = _cmatmul(
+            prev_re[:], prev_im[:],
+            (t1_c0[:], t1_c1[:], t1_c2[:], t1_c3[:], t1_c4[:], t1_c5[:]),
+        )
+        yr = yr + y1r
+        yi = yi + y1i
+        # stash this tile's last row as the next tile's carry
+        cout_re_ref[0, :] = xr[_TILE - 1, :]
+        cout_im_ref[0, :] = xi[_TILE - 1, :]
+
+        # --- AWGN -------------------------------------------------------------
+        if add_noise:
+            mp_ = jnp.mean(yr * yr + yi * yi)
+            sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
+            u1 = jnp.maximum(_uniform24((_TILE, T)), _INV_2_24)
+            u2 = _uniform24((_TILE, T))
+            rad = jnp.sqrt(-2.0 * jnp.log(u1))
+            th = (2.0 * np.pi) * u2
+            yr = yr + sigma * rad * jnp.cos(th)
+            yi = yi + sigma * rad * jnp.sin(th)
+
+        # --- RX (guard strip + DFT) ---------------------------------------------
+        fr, fi_ = _cmatmul(yr, yi, (rx_c0[:], rx_c1[:], rx_c2[:], rx_c3[:], rx_c4[:], rx_c5[:]))
+
+        # --- equalize ---------------------------------------------------------------
+        hre = hre_ref[:]
+        him = him_ref[:]
+        if method == EqualizationMethod.ZF:
+            g = 1.0 / zfg_ref[:]
+            er = (fr * hre + fi_ * him) * g
+            ei = (fi_ * hre - fr * him) * g
+        elif method == EqualizationMethod.MMSE:
+            sp = jnp.mean(fr * fr + fi_ * fi_, axis=1, keepdims=True)  # (Bt, 1)
+            nv = sp / snr_lin / channel_gain
+            g = 1.0 / (habs2_ref[:] + nv)
+            er = (fr * hre + fi_ * him) * g
+            ei = (fi_ * hre - fr * him) * g
+        else:
+            er, ei = fr, fi_
+
+        # --- demap (arith slicer) + error counts --------------------------------------
+        xs = er / scale
+        ys = ei / scale
+        cc = jnp.clip(jnp.round((xs + (m_side - 1)) * 0.5), 0, m_side - 1).astype(jnp.int32)
+        rr = jnp.clip(jnp.round(((m_side - 1) - ys) * 0.5), 0, m_side - 1).astype(jnp.int32)
+        pp = rr * m_side + cc
+        j = _inv_gray(pp)
+        rowj = j >> logm
+        colj = j & (m_side - 1)
+        colzj = jnp.where((rowj & 1) == 1, m_side - 1 - colj, colj)
+        rx_idx = (rowj << logm) | colzj
+
+        x = tx_idx ^ rx_idx
+        berr = jnp.zeros((), jnp.int32)
+        for b in range(bits):
+            berr = berr + jnp.sum((x >> b) & 1, dtype=jnp.int32)
+        serr = jnp.sum((tx_idx != rx_idx).astype(jnp.int32))
+
+        @pl.when(i == 0)
+        def _():
+            be_ref[0, 0] = berr
+            se_ref[0, 0] = serr
+        @pl.when(i != 0)
+        def _():
+            be_ref[0, 0] = be_ref[0, 0] + berr
+            se_ref[0, 0] = se_ref[0, 0] + serr
+
+    # --- pallas_call wiring ---------------------------------------------------
+    const_arrays = [jnp.asarray(c) for c in consts] + [
+        jnp.asarray(h_re), jnp.asarray(h_im), jnp.asarray(h_abs2), jnp.asarray(zf_guard)
+    ]
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2  # seeds, snr
+        + [vmem_full] * 2  # carry planes (1, T)
+        + [vmem_full] * len(const_arrays)
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),  # bit errors
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),  # symbol errors
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),  # papr max
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),  # papr sum
+        jax.ShapeDtypeStruct((1, T), jnp.float32),  # carry out re
+        jax.ShapeDtypeStruct((1, T), jnp.float32),  # carry out im
+    )
+    # Scalar accumulators live in SMEM (VMEM refs reject scalar stores).
+    out_specs = tuple(
+        pl.BlockSpec(
+            shape,
+            lambda i: (0, 0),
+            memory_space=pltpu.SMEM if shape == (1, 1) else pltpu.VMEM,
+        )
+        for shape in [(1, 1), (1, 1), (1, 1), (1, 1), (1, T), (1, T)]
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((_TILE, T), jnp.float32),  # prev_re
+            pltpu.VMEM((_TILE, T), jnp.float32),  # prev_im
+        ],
+    )
+
+    def fn(key, carry: CArray, snr_db, sqrt_power):
+        del sqrt_power  # not applied in supported configs
+        data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)[:2].astype(jnp.int32)
+        be, se, pmax, psum, cre, cim = call(
+            data,
+            jnp.asarray(snr_db, jnp.float32).reshape(1),
+            carry.re.reshape(1, T),
+            carry.im.reshape(1, T),
+            *const_arrays,
+        )
+        stats = {
+            "bit_errors": be[0, 0],
+            "symbol_errors": se[0, 0],
+            "papr_peak": pmax[0, 0],
+            "papr_sum": psum[0, 0],
+            "papr_count": jnp.asarray(num_syms * T, jnp.float32),
+        }
+        return stats, CArray(cre[0], cim[0])
+
+    return fn

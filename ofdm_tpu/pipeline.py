@@ -306,7 +306,7 @@ class LinkRunner:
             symbols = cplx.scale(symbols, sqrt_power)
 
         add_noise = cfg.noise_type == NoiseType.AWGN
-        use_mm = planar and cfg.hotpath in ("auto", "matmul")
+        use_mm = planar and cfg.hotpath in ("auto", "matmul", "pallas")
         if use_mm:
             # Matmul-form link operators (ops/linops.py): IDFT+guard, the
             # banded-Toeplitz stream convolution, and guard-strip+DFT are
@@ -380,14 +380,28 @@ class LinkRunner:
     # (received_symbols is a CArray on the planar engine; run() converts.)
 
     # -- compiled chunk step --------------------------------------------------
+    def _chunk_fn(self, num_syms: int, return_symbols: bool):
+        """Traceable chunk callable; prefers the fused Pallas kernel when the
+        config supports it (hotpath="pallas") and falls back to chunk_body."""
+        if (
+            self.setup.cfg.hotpath in ("auto", "pallas")
+            and not return_symbols
+            and self.planar
+        ):
+            from ofdm_tpu.ops import pallas_link
+
+            fn = pallas_link.make_pallas_chunk(self, num_syms)
+            if fn is not None:
+                return fn
+        return lambda key, carry, snr_db, sqrt_power: self.chunk_body(
+            key, carry, num_syms, return_symbols,
+            snr_db=snr_db, sqrt_power=sqrt_power,
+        )
+
     def _step(self, num_syms: int, return_symbols: bool):
         key_ = ("step", num_syms, return_symbols)
         if key_ not in self._jitted:
-            fn = lambda key, carry, snr_db, sqrt_power: self.chunk_body(  # noqa: E731
-                key, carry, num_syms, return_symbols,
-                snr_db=snr_db, sqrt_power=sqrt_power,
-            )
-            self._jitted[key_] = jax.jit(fn)
+            self._jitted[key_] = jax.jit(self._chunk_fn(num_syms, return_symbols))
         return self._jitted[key_]
 
     def _scan(self, num_chunks: int, num_syms: int):
@@ -401,15 +415,12 @@ class LinkRunner:
         key_ = ("scan", num_chunks, num_syms)
         if key_ not in self._jitted:
 
+            chunk_fn = self._chunk_fn(num_syms, False)
+
             def f(key, carry0, snr_db, sqrt_power):
                 def body(carry, i):
-                    stats, carry = self.chunk_body(
-                        jax.random.fold_in(key, i),
-                        carry,
-                        num_syms,
-                        False,
-                        snr_db=snr_db,
-                        sqrt_power=sqrt_power,
+                    stats, carry = chunk_fn(
+                        jax.random.fold_in(key, i), carry, snr_db, sqrt_power
                     )
                     return carry, stats
                 return jax.lax.scan(body, carry0, jnp.arange(num_chunks))
@@ -434,7 +445,7 @@ class LinkRunner:
 
     def _init_carry(self):
         if self.planar:
-            if self.setup.cfg.hotpath in ("auto", "matmul"):
+            if self.setup.cfg.hotpath in ("auto", "matmul", "pallas"):
                 # Matmul-form conv carries the previous chunk's last time row.
                 t = self.setup.block_length
                 return cplx.CArray(jnp.zeros((t,), jnp.float32), jnp.zeros((t,), jnp.float32))
