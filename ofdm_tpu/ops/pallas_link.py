@@ -92,7 +92,7 @@ def _uniform24(shape):
     return ((b >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24
 
 
-def make_pallas_chunk(runner, num_syms: int):
+def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
     """Build the fused chunk fn for `runner` or return None if unsupported.
 
     Returned callable: fn(key, carry: CArray (T,), snr_db, sqrt_power)
@@ -107,7 +107,7 @@ def make_pallas_chunk(runner, num_syms: int):
         or cfg.apply_power_allocation
         or cfg.normalize_before_demap
         or num_syms % _TILE != 0
-        or jax.default_backend() in ("cpu", "gpu")
+        or (jax.default_backend() in ("cpu", "gpu") and not interpret)
     ):
         return None
 
@@ -320,6 +320,9 @@ def make_pallas_chunk(runner, num_syms: int):
             pltpu.VMEM((_TILE, T), jnp.float32),  # prev_re
             pltpu.VMEM((_TILE, T), jnp.float32),  # prev_im
         ],
+        # CPU test coverage via the Mosaic emulator (plain interpret=True
+        # cannot lower prng_seed on cpu); tests/test_pallas_link.py.
+        interpret=pltpu.InterpretParams() if interpret else False,
     )
 
     def fn(key, carry: CArray, snr_db, sqrt_power):
