@@ -9,8 +9,9 @@ AWGN, equalizes, demaps, and accumulates BER/SER/PAPR partials — all without
 leaving VMEM (SURVEY §7.2 step 8, the "speed-of-light pass").
 
 Supported configuration (falls back to the XLA hot path otherwise):
-fixed-mode square QAM, OFDM, CP/ZP/no guard, ZF/MMSE/none equalizer, AWGN or
-no noise, no TX power scaling, no pre-demap normalization.
+fixed-mode square QAM, OFDM or SC-FDE, CP/ZP/no guard, ZF/MMSE/none
+equalizer, AWGN or no noise, no TX power scaling, no pre-demap
+normalization.
 
 Cross-symbol ISI carry: within a tile the "previous symbol" row comes from
 `pltpu.roll` along sublanes; across tiles a VMEM scratch holds the last time
@@ -103,7 +104,6 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
     if (
         s.is_adaptive
         or cfg.constellation_type.value != "QAM"
-        or cfg.modulation_type != ModulationType.OFDM
         or cfg.apply_power_allocation
         or cfg.normalize_before_demap
         or num_syms % _TILE != 0
@@ -121,6 +121,7 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
     tiles = num_syms // _TILE
     add_noise = cfg.noise_type == NoiseType.AWGN
     method = cfg.equalization_method
+    is_sc = cfg.modulation_type == ModulationType.SC_OFDM
 
     # --- host-precomputed matrix constants ---------------------------------
     ftx = linops.tx_matrix(n, cfg.prefix_type, L, cfg.modulation_type)
@@ -132,6 +133,12 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
         + _complex_matrix_consts(t1.real, t1.imag)
         + _complex_matrix_consts(*rxm)
     )  # 24 arrays
+    if is_sc:
+        # SC-FDE RX back-end: equalized bins -> time symbols via one IDFT.
+        from ofdm_tpu.ops.dft import dft_matrix
+
+        fi_r, fi_i = dft_matrix(n, inverse=True)
+        consts = consts + _complex_matrix_consts(fi_r, fi_i)  # 30 arrays
     h = s.h_freq.astype(np.complex128)
     h_re = np.asarray(h.real, np.float32).reshape(1, n)
     h_im = np.asarray(h.imag, np.float32).reshape(1, n)
@@ -163,10 +170,16 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
             t0_c0, t0_c1, t0_c2, t0_c3, t0_c4, t0_c5,
             t1_c0, t1_c1, t1_c2, t1_c3, t1_c4, t1_c5,
             rx_c0, rx_c1, rx_c2, rx_c3, rx_c4, rx_c5,
+            *rest,
+        ) = refs
+        if is_sc:
+            idft_c = rest[:6]
+            rest = rest[6:]
+        (
             hre_ref, him_ref, habs2_ref, zfg_ref,
             be_ref, se_ref, pmax_ref, psum_ref, cout_re_ref, cout_im_ref,
             prev_re, prev_im,
-        ) = refs
+        ) = rest
         i = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527), seed_ref[1])
         # Mosaic lacks scalar powf; 10^(x/10) == exp(x * ln(10)/10).
@@ -254,6 +267,13 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
             ei = (fi_ * hre - fr * him) * g
         else:
             er, ei = fr, fi_
+
+        if is_sc:
+            # SC-FDE: equalized frequency bins -> time-domain symbols.
+            er, ei = _cmatmul(
+                er, ei,
+                (idft_c[0][:], idft_c[1][:], idft_c[2][:], idft_c[3][:], idft_c[4][:], idft_c[5][:]),
+            )
 
         # --- demap (arith slicer) + error counts --------------------------------------
         xs = er / scale

@@ -73,6 +73,9 @@ def _run_kernel(runner, snr=30.0, key=0):
              equalization_method=EqualizationMethod.ZF),
         dict(noise_type=NoiseType.NONE, channel_model="flat_fading",
              equalization_method=EqualizationMethod.NONE),
+        dict(noise_type=NoiseType.NONE, constellation_order=4,
+             modulation_type=ModulationType.SC_OFDM,
+             equalization_method=EqualizationMethod.ZF),
     ],
 )
 def test_kernel_linear_chain_round_trip(kw):
@@ -108,8 +111,6 @@ def test_kernel_papr_of_constant_spectrum():
 def test_kernel_unsupported_configs_fall_back():
     psk = _runner(constellation_order=8, constellation_type=ConstellationType.PSK)
     assert pallas_link.make_pallas_chunk(psk, 1024, interpret=True) is None
-    sc = _runner(modulation_type=ModulationType.SC_OFDM)
-    assert pallas_link.make_pallas_chunk(sc, 1024, interpret=True) is None
     odd = _runner()
     assert pallas_link.make_pallas_chunk(odd, 1000, interpret=True) is None
     # apply_power_allocation unsupported
