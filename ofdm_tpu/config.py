@@ -183,8 +183,18 @@ class SimulationConfig:
     # fastest on the target TPU: 8.56M vs 5.42M OFDM syms/s); "batchminor"
     # selects the (time, batch)-layout fused chunk in ops/fused.py.
     hotpath: str = "auto"
+    # bf16 split passes per MXU matmul in the fused Pallas kernel.  3 =
+    # bf16x3 split (~1e-5 relative error, matches f32); 1 = single bf16 pass
+    # (~6e-3 — measured +0.6% relative BER shift on 64-QAM @30 dB, well
+    # inside Monte-Carlo noise, and ~1.3x faster end to end).  "auto" picks
+    # 1 when the constellation's decision half-distance is >= 0.07 (QAM
+    # order <= 256, PSK order <= 32) so the bf16 perturbation stays an
+    # order of magnitude below the slicing threshold, else 3.
+    matmul_passes: object = "auto"
 
     def __post_init__(self) -> None:
+        if self.matmul_passes not in ("auto", 1, 3):
+            raise ValueError("matmul_passes must be 'auto', 1 or 3.")
         if self.num_bits is None and self.num_symbols is None:
             raise ValueError("Either num_bits or num_symbols must be specified.")
         if self.num_bits is not None and self.num_symbols is not None:

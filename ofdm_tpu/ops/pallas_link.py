@@ -9,9 +9,10 @@ AWGN, equalizes, demaps, and accumulates BER/SER/PAPR partials — all without
 leaving VMEM (SURVEY §7.2 step 8, the "speed-of-light pass").
 
 Supported configuration (falls back to the XLA hot path otherwise):
-fixed-mode square QAM, OFDM or SC-FDE, CP/ZP/no guard, ZF/MMSE/none
-equalizer, AWGN or no noise, no TX power scaling, no pre-demap
-normalization.
+fixed-mode square QAM or power-of-2 PSK (PSK demap is an atan2-free
+rotation binary search — see `psk_sector_arith`), OFDM or SC-FDE, CP/ZP/no
+guard, ZF/MMSE/none equalizer, AWGN or no noise, no TX power scaling, no
+pre-demap normalization.
 
 Cross-symbol ISI carry: within a tile the "previous symbol" row comes from
 `pltpu.roll` along sublanes; across tiles a VMEM scratch holds the last time
@@ -75,10 +76,20 @@ def _split_act(x):
     return xh, xl
 
 
-def _cmatmul(xr, xi, consts):
-    """Karatsuba complex matmul with bf16x3 precision; consts from
-    _complex_matrix_consts (6 refs)."""
+def _cmatmul(xr, xi, consts, passes: int = 3):
+    """Karatsuba complex matmul; consts from _complex_matrix_consts (6 refs).
+
+    passes=3: bf16x3 split per real matmul (~1e-5 rel err, f32-grade).
+    passes=1: single bf16 pass (~6e-3 rel err) — 3 MXU passes per complex
+    matmul instead of 9; selected via SimulationConfig.matmul_passes.
+    """
     r_hi, r_lo, i_hi, i_lo, s_hi, s_lo = consts
+    if passes == 1:
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)  # noqa: E731
+        p1 = d(xr.astype(jnp.bfloat16), r_hi)
+        p2 = d(xi.astype(jnp.bfloat16), i_hi)
+        p3 = d((xr + xi).astype(jnp.bfloat16), s_hi)
+        return p1 - p2, p3 - p1 - p2
     xrh, xrl = _split_act(xr)
     xih, xil = _split_act(xi)
     xsh, xsl = _split_act(xr + xi)
@@ -93,6 +104,46 @@ def _uniform24(shape):
     return ((b >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24
 
 
+def psk_sector_arith(er, ei, order: int):
+    """``round(angle(z) * M / 2pi) mod M`` without atan2.
+
+    The backend's Mosaic has no atan2, so the PSK hard decision
+    (mapping.psk_index_planar semantics, reference constellation/models.py
+    nearest-neighbour on the unit circle) is computed by a rotation-based
+    binary search: successively test which half of the remaining arc the
+    point lies in and rotate it back by the corresponding constant phasor.
+    log2(M)+1 sign tests, log2(M)-2 constant complex multiplies; exact up
+    to f32 rounding at sector boundaries (measure zero under noise).
+
+    Works both inside a Pallas kernel and as plain jax/XLA ops (tested
+    against arctan2 in tests/test_pallas_link.py).
+    """
+    m = order
+    neg = ei < 0.0
+    s = jnp.where(neg, m // 2, 0)
+    er = jnp.where(neg, -er, er)
+    ei = jnp.where(neg, -ei, ei)
+    if m >= 4:
+        c = er < 0.0
+        s = s + jnp.where(c, m // 4, 0)
+        nr = jnp.where(c, ei, er)
+        ni = jnp.where(c, -er, ei)
+        er, ei = nr, ni
+    ang, step = np.pi / 4, m // 8
+    while step >= 1:
+        ca, sa = np.float32(np.cos(ang)), np.float32(np.sin(ang))
+        t = ei * ca - er * sa >= 0.0
+        s = s + jnp.where(t, step, 0)
+        nr = er * ca + ei * sa
+        ni = ei * ca - er * sa
+        er = jnp.where(t, nr, er)
+        ei = jnp.where(t, ni, ei)
+        ang, step = ang * 0.5, step // 2
+    ca, sa = np.float32(np.cos(np.pi / m)), np.float32(np.sin(np.pi / m))
+    t = ei * ca - er * sa >= 0.0
+    return (s + jnp.where(t, 1, 0)) & (m - 1)
+
+
 def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
     """Build the fused chunk fn for `runner` or return None if unsupported.
 
@@ -101,12 +152,15 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
     """
     s = runner.setup
     cfg = s.cfg
+    is_qam = cfg.constellation_type.value == "QAM"
+    order = cfg.constellation_order
     if (
         s.is_adaptive
-        or cfg.constellation_type.value != "QAM"
         or cfg.apply_power_allocation
         or cfg.normalize_before_demap
         or num_syms % _TILE != 0
+        or (is_qam and int(np.sqrt(order)) ** 2 != order)
+        or s.const.coding not in ("gray", "none")
         or (jax.default_backend() in ("cpu", "gpu") and not interpret)
     ):
         return None
@@ -114,8 +168,14 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
     n = cfg.num_subcarriers
     L = s.prefix_length
     T = n + L
-    order = cfg.constellation_order
-    m_side = int(np.sqrt(order))
+    m_side = int(np.sqrt(order)) if is_qam else 0
+    is_gray = s.const.coding == "gray"
+    if cfg.matmul_passes == "auto":
+        # Decision half-distance: QAM grid half-spacing / PSK chord half.
+        half_d = float(s.const.scale) if is_qam else float(np.sin(np.pi / order))
+        passes = 1 if half_d >= 0.07 else 3
+    else:
+        passes = int(cfg.matmul_passes)
     bits = s.const.bits_per_symbol
     scale = np.float32(s.const.scale)
     tiles = num_syms // _TILE
@@ -156,7 +216,7 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
             shift <<= 1
         return g
 
-    logm = int(np.log2(m_side))
+    logm = int(np.log2(m_side)) if is_qam else 0
 
     def kernel(
         seed_ref,  # SMEM (3,): key0, key1, snr bits handled separately
@@ -185,20 +245,28 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
         # Mosaic lacks scalar powf; 10^(x/10) == exp(x * ln(10)/10).
         snr_lin = jnp.exp(snr_ref[0] * np.float32(np.log(10.0) / 10.0))
 
-        # --- TX: random indices -> QAM points (arith Gray/zigzag) ----------
+        # --- TX: random indices -> constellation points (arithmetic) -------
         raw = pltpu.bitcast(pltpu.prng_random_bits((_TILE, n)), jnp.int32)
         tx_idx = raw & (order - 1)
-        row = tx_idx >> logm
-        col = tx_idx & (m_side - 1)
-        colz = jnp.where((row & 1) == 1, m_side - 1 - col, col)
-        p = _gray((row << logm) | colz)
-        c2 = (p & (m_side - 1)).astype(jnp.float32)
-        r2 = (p >> logm).astype(jnp.float32)
-        sr = (2.0 * c2 - (m_side - 1)) * scale
-        si = ((m_side - 1) - 2.0 * r2) * scale
+        if is_qam:
+            # Gray/zigzag grid walk (mapping.qam_point_planar semantics).
+            row = tx_idx >> logm
+            col = tx_idx & (m_side - 1)
+            colz = jnp.where((row & 1) == 1, m_side - 1 - col, col)
+            p = _gray((row << logm) | colz) if is_gray else tx_idx
+            c2 = (p & (m_side - 1)).astype(jnp.float32)
+            r2 = (p >> logm).astype(jnp.float32)
+            sr = (2.0 * c2 - (m_side - 1)) * scale
+            si = ((m_side - 1) - 2.0 * r2) * scale
+        else:
+            # PSK: table[i] = exp(2pi*j*inverse_gray(i)/M).
+            p = _inv_gray(tx_idx) if is_gray else tx_idx
+            ang = p.astype(jnp.float32) * np.float32(2.0 * np.pi / order)
+            sr = jnp.cos(ang)
+            si = jnp.sin(ang)
 
         # --- modulate (IDFT + guard) ------------------------------------------
-        xr, xi = _cmatmul(sr, si, (ftx_c0[:], ftx_c1[:], ftx_c2[:], ftx_c3[:], ftx_c4[:], ftx_c5[:]))
+        xr, xi = _cmatmul(sr, si, (ftx_c0[:], ftx_c1[:], ftx_c2[:], ftx_c3[:], ftx_c4[:], ftx_c5[:]), passes)
 
         # PAPR partials
         pwr = xr * xr + xi * xi
@@ -212,7 +280,7 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
             psum_ref[0, 0] = psum_ref[0, 0] + jnp.sum(pwr)
 
         # --- convolution: intra band + previous-symbol band -----------------
-        yr, yi = _cmatmul(xr, xi, (t0_c0[:], t0_c1[:], t0_c2[:], t0_c3[:], t0_c4[:], t0_c5[:]))
+        yr, yi = _cmatmul(xr, xi, (t0_c0[:], t0_c1[:], t0_c2[:], t0_c3[:], t0_c4[:], t0_c5[:]), passes)
         # previous rows: roll down one sublane; row 0 <- carry
         pxr = pltpu.roll(xr, 1, 0)
         pxi = pltpu.roll(xi, 1, 0)
@@ -231,6 +299,7 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
         y1r, y1i = _cmatmul(
             prev_re[:], prev_im[:],
             (t1_c0[:], t1_c1[:], t1_c2[:], t1_c3[:], t1_c4[:], t1_c5[:]),
+            passes,
         )
         yr = yr + y1r
         yi = yi + y1i
@@ -242,15 +311,25 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
         if add_noise:
             mp_ = jnp.mean(yr * yr + yi * yi)
             sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
-            u1 = jnp.maximum(_uniform24((_TILE, T)), _INV_2_24)
+            rbits = pltpu.bitcast(pltpu.prng_random_bits((_TILE, T)), jnp.int32)
+            u1 = jnp.maximum(
+                ((rbits >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24, _INV_2_24
+            )
             u2 = _uniform24((_TILE, T))
             rad = jnp.sqrt(-2.0 * jnp.log(u1))
-            th = (2.0 * np.pi) * u2
-            yr = yr + sigma * rad * jnp.cos(th)
-            yi = yi + sigma * rad * jnp.sin(th)
+            # Box-Muller with one transcendental less: for uniform theta,
+            # sign(sin) is independent of cos, so (cos, +-sqrt(1-cos^2))
+            # with a fair random sign (bit 0 of u1's draw, disjoint from its
+            # bits 8..31) is EXACTLY distributed as (cos, sin) — and sqrt is
+            # far cheaper than a second sin/cos polynomial on the VPU.
+            co = jnp.cos((2.0 * np.pi) * u2)
+            si_ = jnp.sqrt(jnp.maximum(1.0 - co * co, 0.0))
+            si_ = jnp.where((rbits & 1) == 0, si_, -si_)
+            yr = yr + sigma * rad * co
+            yi = yi + sigma * rad * si_
 
         # --- RX (guard strip + DFT) ---------------------------------------------
-        fr, fi_ = _cmatmul(yr, yi, (rx_c0[:], rx_c1[:], rx_c2[:], rx_c3[:], rx_c4[:], rx_c5[:]))
+        fr, fi_ = _cmatmul(yr, yi, (rx_c0[:], rx_c1[:], rx_c2[:], rx_c3[:], rx_c4[:], rx_c5[:]), passes)
 
         # --- equalize ---------------------------------------------------------------
         hre = hre_ref[:]
@@ -273,19 +352,27 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
             er, ei = _cmatmul(
                 er, ei,
                 (idft_c[0][:], idft_c[1][:], idft_c[2][:], idft_c[3][:], idft_c[4][:], idft_c[5][:]),
+                passes,
             )
 
         # --- demap (arith slicer) + error counts --------------------------------------
-        xs = er / scale
-        ys = ei / scale
-        cc = jnp.clip(jnp.round((xs + (m_side - 1)) * 0.5), 0, m_side - 1).astype(jnp.int32)
-        rr = jnp.clip(jnp.round(((m_side - 1) - ys) * 0.5), 0, m_side - 1).astype(jnp.int32)
-        pp = rr * m_side + cc
-        j = _inv_gray(pp)
-        rowj = j >> logm
-        colj = j & (m_side - 1)
-        colzj = jnp.where((rowj & 1) == 1, m_side - 1 - colj, colj)
-        rx_idx = (rowj << logm) | colzj
+        if is_qam:
+            xs = er / scale
+            ys = ei / scale
+            cc = jnp.clip(jnp.round((xs + (m_side - 1)) * 0.5), 0, m_side - 1).astype(jnp.int32)
+            rr = jnp.clip(jnp.round(((m_side - 1) - ys) * 0.5), 0, m_side - 1).astype(jnp.int32)
+            pp = rr * m_side + cc
+            if is_gray:
+                j = _inv_gray(pp)
+                rowj = j >> logm
+                colj = j & (m_side - 1)
+                colzj = jnp.where((rowj & 1) == 1, m_side - 1 - colj, colj)
+                rx_idx = (rowj << logm) | colzj
+            else:
+                rx_idx = pp
+        else:
+            sector = psk_sector_arith(er, ei, order)
+            rx_idx = _gray(sector) if is_gray else sector
 
         x = tx_idx ^ rx_idx
         berr = jnp.zeros((), jnp.int32)
