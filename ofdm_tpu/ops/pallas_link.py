@@ -144,6 +144,24 @@ def psk_sector_arith(er, ei, order: int):
     return (s + jnp.where(t, 1, 0)) & (m - 1)
 
 
+def supports(runner, interpret: bool = False) -> bool:
+    """Whether `runner`'s config can run the fused kernel (any TILE-multiple
+    chunk size).  Used by LinkRunner.run() to round the scanned bulk down to
+    a _TILE multiple instead of silently falling back to the XLA path."""
+    s = runner.setup
+    cfg = s.cfg
+    is_qam = cfg.constellation_type.value == "QAM"
+    order = cfg.constellation_order
+    return not (
+        s.is_adaptive
+        or cfg.apply_power_allocation
+        or cfg.normalize_before_demap
+        or (is_qam and int(np.sqrt(order)) ** 2 != order)
+        or s.const.coding not in ("gray", "none")
+        or (jax.default_backend() in ("cpu", "gpu") and not interpret)
+    )
+
+
 def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
     """Build the fused chunk fn for `runner` or return None if unsupported.
 
@@ -154,15 +172,7 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
     cfg = s.cfg
     is_qam = cfg.constellation_type.value == "QAM"
     order = cfg.constellation_order
-    if (
-        s.is_adaptive
-        or cfg.apply_power_allocation
-        or cfg.normalize_before_demap
-        or num_syms % _TILE != 0
-        or (is_qam and int(np.sqrt(order)) ** 2 != order)
-        or s.const.coding not in ("gray", "none")
-        or (jax.default_backend() in ("cpu", "gpu") and not interpret)
-    ):
+    if num_syms % _TILE != 0 or not supports(runner, interpret):
         return None
 
     n = cfg.num_subcarriers

@@ -482,6 +482,15 @@ class LinkRunner:
         B = s.num_ofdm_symbols
         chunk = s.cfg.symbols_per_chunk or B
         chunk = min(chunk, B)
+        if self.planar and s.cfg.hotpath in ("auto", "pallas"):
+            # Keep the scanned bulk on the fused Pallas kernel (which needs a
+            # _TILE-multiple chunk): round the chunk down and let the <_TILE
+            # remainder run one XLA step, instead of silently dropping the
+            # whole run to the ~10x slower XLA path.
+            from ofdm_tpu.ops import pallas_link
+
+            if chunk >= pallas_link._TILE and pallas_link.supports(self):
+                chunk -= chunk % pallas_link._TILE
 
         totals = {"bit_errors": 0, "symbol_errors": 0}
         papr_peak, papr_sum, papr_count = 0.0, 0.0, 0

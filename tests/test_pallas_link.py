@@ -172,6 +172,22 @@ def test_kernel_single_pass_bounded_error_on_worst_case():
     assert int(stats["bit_errors"]) / total_bits < 0.02
 
 
+def test_supports_predicate():
+    """supports() mirrors the config gate (chunk-size-independent)."""
+    assert pallas_link.supports(_runner(), interpret=True)
+    assert pallas_link.supports(
+        _runner(constellation_order=8, constellation_type=ConstellationType.PSK),
+        interpret=True,
+    )
+    assert not pallas_link.supports(
+        pl.LinkRunner(pl.prepare(SimulationConfig(
+            num_symbols=64 * 1024, constellation_order=64,
+            channel_type=ChannelType.CUSTOM, channel_model="Lin-Phoong_P2",
+            apply_power_allocation=True, engine="planar", hotpath="pallas",
+        ))), interpret=True,
+    )
+
+
 def test_kernel_unsupported_configs_fall_back():
     odd = _runner()
     assert pallas_link.make_pallas_chunk(odd, 1000, interpret=True) is None
