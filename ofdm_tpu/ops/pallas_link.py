@@ -4,9 +4,10 @@ One `pallas_call` executes an entire Monte-Carlo chunk for the fixed-QAM
 OFDM link: per grid step it draws a tile of random constellation indices
 (hardware PRNG), maps them arithmetically, runs the four matmul-form link
 operators (ops/linops.py matrices: IDFT+guard, the two Toeplitz convolution
-bands, guard-strip+DFT) on the MXU with bf16x3-split passes, adds Box-Muller
-AWGN, equalizes, demaps, and accumulates BER/SER/PAPR partials — all without
-leaving VMEM (SURVEY §7.2 step 8, the "speed-of-light pass").
+bands, guard-strip+DFT) on the MXU (bf16x3-split or single-pass bf16 — see
+SimulationConfig.matmul_passes), adds Box-Muller AWGN, equalizes, demaps,
+and accumulates BER/SER/PAPR partials — all without leaving VMEM
+(SURVEY §7.2 step 8, the "speed-of-light pass").
 
 Supported configuration (falls back to the XLA hot path otherwise):
 fixed-mode square QAM or power-of-2 PSK (PSK demap is an atan2-free
@@ -26,9 +27,6 @@ BER gate pins this.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,7 +39,7 @@ from ofdm_tpu.config import (
     NoiseType,
     PrefixType,
 )
-from ofdm_tpu.ops import cplx, linops
+from ofdm_tpu.ops import linops
 from ofdm_tpu.ops.cplx import CArray
 
 _TILE = 1024  # OFDM symbols per grid step
