@@ -27,7 +27,20 @@ REFERENCE_BER_30DB = 0.01901  # also docs/OFDM-Based Systems.tex:246-264 (0.0189
 
 
 def main() -> int:
+    import os
+
+    # Optional persistent compilation cache (jax_compilation_cache_dir).
+    # OFF by default: on the axon relay backend, loading a cached executable
+    # reproducibly wedges the process (entries are written but
+    # deserialization hangs — probed 2026-08-17, tmp/cache_probe.py), so we
+    # only enable it when the user opts in on a backend that supports it.
+    cache_dir = os.environ.get("OFDM_TPU_COMPILE_CACHE")
+
     import jax
+
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ofdm_tpu.config import (
         ChannelType,
@@ -65,11 +78,16 @@ def main() -> int:
     compile_s = time.perf_counter() - t0
 
     best = 0.0
+    run_s = None
     ber = None
+    hotpath = passes = None
     for rep in range(3):
         r = runner.run(jax.random.fold_in(key, 100 + rep), snr_db=30.0)
-        best = max(best, r["ofdm_symbols_per_s"])
+        if r["ofdm_symbols_per_s"] > best:
+            best = r["ofdm_symbols_per_s"]
+            run_s = r["transmission_time_ms"] / 1000.0
         ber = r["bit_error_rate"]
+        hotpath, passes = r["hotpath_used"], r["matmul_passes_used"]
 
     # Correctness gate: BER at 30 dB must match the reference's (0.0190).
     # At 25.8G bits the Monte-Carlo CI is ~1e-6; allow 1.5e-3 for the
@@ -88,7 +106,13 @@ def main() -> int:
                 "ber_30db": ber,
                 "ber_reference": REFERENCE_BER_30DB,
                 "ber_match": ber_ok,
+                # Honest wall split: compile_s is the one-time warmup
+                # (remote compile on this relay); run_s is the measured
+                # Monte-Carlo wall the throughput is computed from.
                 "compile_s": round(compile_s, 1),
+                "run_s": round(run_s, 2) if run_s is not None else None,
+                "hotpath": hotpath,
+                "matmul_passes": passes,
                 "backend": jax.default_backend(),
             }
         )

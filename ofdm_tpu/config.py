@@ -192,7 +192,35 @@ class SimulationConfig:
     # order of magnitude below the slicing threshold, else 3.
     matmul_passes: object = "auto"
 
+    # Fields declared as str-Enums accept plain strings ("WATERFILLING") for
+    # ergonomic direct construction; __post_init__ coerces them so downstream
+    # `.name` / identity checks always see the enum member.
+    _ENUM_FIELDS = {
+        "constellation_type": ConstellationType,
+        "modulation_type": ModulationType,
+        "prefix_type": PrefixType,
+        "equalization_method": EqualizationMethod,
+        "noise_type": NoiseType,
+        "power_allocation_type": PowerAllocationType,
+        "adaptive_modulation_mode": AdaptiveModulationMode,
+        "channel_type": ChannelType,
+    }
+
     def __post_init__(self) -> None:
+        for fname, enum_cls in self._ENUM_FIELDS.items():
+            v = getattr(self, fname)
+            if not isinstance(v, enum_cls):
+                try:
+                    member = enum_cls(v)  # by value ("SC-OFDM")
+                except ValueError:
+                    try:
+                        member = enum_cls[v]  # by name ("SC_OFDM")
+                    except KeyError:
+                        raise ValueError(
+                            f"{fname}={v!r} is not one of "
+                            f"{[m.value for m in enum_cls]}"
+                        ) from None
+                object.__setattr__(self, fname, member)
         if self.matmul_passes not in ("auto", 1, 3):
             raise ValueError("matmul_passes must be 'auto', 1 or 3.")
         if self.num_bits is None and self.num_symbols is None:

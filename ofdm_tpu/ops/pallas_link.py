@@ -1,19 +1,30 @@
 """Fully fused Pallas chunk kernel: the whole link step in one kernel.
 
-One `pallas_call` executes an entire Monte-Carlo chunk for the fixed-QAM
-OFDM link: per grid step it draws a tile of random constellation indices
-(hardware PRNG), maps them arithmetically, runs the four matmul-form link
-operators (ops/linops.py matrices: IDFT+guard, the two Toeplitz convolution
-bands, guard-strip+DFT) on the MXU (bf16x3-split or single-pass bf16 — see
+One `pallas_call` executes an entire Monte-Carlo chunk for the OFDM link:
+per grid step it draws a tile of random constellation indices (hardware
+PRNG), maps them arithmetically, runs the four matmul-form link operators
+(ops/linops.py matrices: IDFT+guard, the two Toeplitz convolution bands,
+guard-strip+DFT) on the MXU (bf16x3-split or single-pass bf16 — see
 SimulationConfig.matmul_passes), adds Box-Muller AWGN, equalizes, demaps,
 and accumulates BER/SER/PAPR partials — all without leaving VMEM
 (SURVEY §7.2 step 8, the "speed-of-light pass").
 
 Supported configuration (falls back to the XLA hot path otherwise):
-fixed-mode square QAM or power-of-2 PSK (PSK demap is an atan2-free
-rotation binary search — see `psk_sector_arith`), OFDM or SC-FDE, CP/ZP/no
-guard, ZF/MMSE/none equalizer, AWGN or no noise, no TX power scaling, no
-pre-demap normalization.
+fixed-mode square QAM or power-of-2 PSK, CAPACITY_BASED adaptive QAM
+(per-subcarrier square orders as *vector* rows — the same arithmetic chain
+with per-lane m/scale parameters), OFDM or SC-FDE, CP/ZP/no guard,
+ZF/MMSE/none equalizer, AWGN or no noise, no TX power scaling, no pre-demap
+normalization.  PSK demap is an atan2-free rotation binary search — see
+`psk_sector_arith`.
+
+Executable sharing: the kernel is built from a hashable `_Spec` of the
+*static* configuration only; every data-dependent constant (link matrices,
+equalizer rows, adaptive order rows, channel gain) is a runtime argument.
+`make_pallas_chunk_lifted` returns the per-spec shared function plus this
+runner's constant arrays, so sweeps across SNR points, channels, or
+adaptive order layouts with the same shapes reuse ONE compiled executable
+(pipeline._SHARED_JIT) — critical on remote-compile TPU relays where each
+compile costs minutes.
 
 Cross-symbol ISI carry: within a tile the "previous symbol" row comes from
 `pltpu.roll` along sublanes; across tiles a VMEM scratch holds the last time
@@ -26,6 +37,9 @@ BER gate pins this.
 """
 
 from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -142,6 +156,51 @@ def psk_sector_arith(er, ei, order: int):
     return (s + jnp.where(t, 1, 0)) & (m - 1)
 
 
+def selected_passes(runner) -> int:
+    """bf16 split passes the fused kernel will use for `runner`'s config.
+
+    matmul_passes="auto" picks the single bf16 pass when the constellation's
+    decision half-distance is >= 0.07 (the bf16 ~6e-3 relative perturbation
+    stays an order of magnitude below the slicing threshold), else the
+    f32-grade bf16x3 split.  Exposed so the results dict can record which
+    numeric mode produced a BER curve (ADVICE r1).
+    """
+    s = runner.setup
+    cfg = s.cfg
+    if cfg.matmul_passes != "auto":
+        return int(cfg.matmul_passes)
+    is_qam = cfg.constellation_type.value == "QAM"
+    if s.is_adaptive:
+        active = s.amap.orders[s.amap.orders > 0]
+        if active.size == 0:
+            return 1
+        worst = int(active.max())  # largest order = smallest half-distance
+        if is_qam:
+            from ofdm_tpu.ops.mapping import make_constellation
+
+            half_d = float(make_constellation("QAM", worst).scale)
+        else:
+            half_d = float(np.sin(np.pi / worst))
+    else:
+        half_d = (
+            float(s.const.scale) if is_qam else float(np.sin(np.pi / cfg.constellation_order))
+        )
+    return 1 if half_d >= 0.07 else 3
+
+
+def _adaptive_supported(s) -> bool:
+    """Adaptive mode runs in-kernel for square-QAM order layouts (the
+    CAPACITY_BASED QAM loader always produces even bit widths,
+    mapping.qam_bit_loading_orders)."""
+    if s.amap.kind != "QAM":
+        return False  # PSK adaptive falls back to the XLA planar codec
+    active = s.amap.orders[s.amap.orders > 0]
+    if active.size == 0:
+        return False
+    roots = np.sqrt(active.astype(np.float64))
+    return bool(np.all(np.round(roots) ** 2 == active))
+
+
 def supports(runner, interpret: bool = False) -> bool:
     """Whether `runner`'s config can run the fused kernel (any TILE-multiple
     chunk size).  Used by LinkRunner.run() to round the scanned bulk down to
@@ -150,48 +209,92 @@ def supports(runner, interpret: bool = False) -> bool:
     cfg = s.cfg
     is_qam = cfg.constellation_type.value == "QAM"
     order = cfg.constellation_order
+    if s.is_adaptive:
+        if not _adaptive_supported(s):
+            return False
+    else:
+        if is_qam and int(np.sqrt(order)) ** 2 != order:
+            return False
+        if s.const.coding not in ("gray", "none"):
+            return False
     return not (
-        s.is_adaptive
-        or cfg.apply_power_allocation
+        cfg.apply_power_allocation
         or cfg.normalize_before_demap
-        or (is_qam and int(np.sqrt(order)) ** 2 != order)
-        or s.const.coding not in ("gray", "none")
         or (jax.default_backend() in ("cpu", "gpu") and not interpret)
+        # Halo (exact contiguous-stream) sharding exchanges the carry via
+        # ppermute between kernel-external shard bodies — XLA path only.
+        or getattr(runner, "stream_mode", "independent") == "halo"
     )
 
 
-def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
-    """Build the fused chunk fn for `runner` or return None if unsupported.
+class _Spec(NamedTuple):
+    """Static kernel signature — everything that shapes the compiled code.
 
-    Returned callable: fn(key, carry: CArray (T,), snr_db, sqrt_power)
-    -> (stats dict, new_carry), matching LinkRunner.chunk_body's contract.
-    """
+    All data-dependent values (matrices, equalizer rows, adaptive order
+    rows, channel gain) are runtime arguments, so two runners with equal
+    specs share one executable (the whole point: SNR/channel/adaptive-order
+    sweeps compile once)."""
+
+    tiles: int
+    n: int
+    L: int
+    is_sc: bool
+    mode: str  # "qam" | "psk" | "aqam"
+    order: int  # 0 for aqam
+    is_gray: bool
+    bits: int  # bits per symbol; for aqam: static unroll width (max order)
+    passes: int
+    add_noise: bool
+    method: EqualizationMethod
+    interpret: bool
+
+    @property
+    def T(self) -> int:
+        return self.n + self.L
+
+
+def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
     s = runner.setup
     cfg = s.cfg
-    is_qam = cfg.constellation_type.value == "QAM"
-    order = cfg.constellation_order
     if num_syms % _TILE != 0 or not supports(runner, interpret):
         return None
-
-    n = cfg.num_subcarriers
-    L = s.prefix_length
-    T = n + L
-    m_side = int(np.sqrt(order)) if is_qam else 0
-    is_gray = s.const.coding == "gray"
-    if cfg.matmul_passes == "auto":
-        # Decision half-distance: QAM grid half-spacing / PSK chord half.
-        half_d = float(s.const.scale) if is_qam else float(np.sin(np.pi / order))
-        passes = 1 if half_d >= 0.07 else 3
+    if s.is_adaptive:
+        mode = "aqam"
+        order = 0
+        is_gray = True  # make_constellation default (mapping.py:148)
+        # Static unroll width from the CONFIG bound, not this point's orders:
+        # keeps the spec (and executable) stable across an SNR sweep where
+        # the loaded orders vary.  Extra unroll steps on narrower words are
+        # exact no-ops (XOR bits above the width are zero).
+        bits = int(np.log2(cfg.max_constellation_order))
     else:
-        passes = int(cfg.matmul_passes)
-    bits = s.const.bits_per_symbol
-    scale = np.float32(s.const.scale)
-    tiles = num_syms // _TILE
-    add_noise = cfg.noise_type == NoiseType.AWGN
-    method = cfg.equalization_method
-    is_sc = cfg.modulation_type == ModulationType.SC_OFDM
+        is_qam = cfg.constellation_type.value == "QAM"
+        mode = "qam" if is_qam else "psk"
+        order = cfg.constellation_order
+        is_gray = s.const.coding == "gray"
+        bits = s.const.bits_per_symbol
+    return _Spec(
+        tiles=num_syms // _TILE,
+        n=cfg.num_subcarriers,
+        L=s.prefix_length,
+        is_sc=cfg.modulation_type == ModulationType.SC_OFDM,
+        mode=mode,
+        order=order,
+        is_gray=is_gray,
+        bits=bits,
+        passes=selected_passes(runner),
+        add_noise=cfg.noise_type == NoiseType.AWGN,
+        method=cfg.equalization_method,
+        interpret=interpret,
+    )
 
-    # --- host-precomputed matrix constants ---------------------------------
+
+def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
+    """This runner's data constants, in the kernel's unpack order."""
+    s = runner.setup
+    cfg = s.cfg
+    n, L, T = spec.n, spec.L, spec.T
+
     ftx = linops.tx_matrix(n, cfg.prefix_type, L, cfg.modulation_type)
     t0, t1 = linops.conv_matrices(s.taps, T)
     rxm = linops.rx_matrix(n, cfg.prefix_type, L)
@@ -201,34 +304,96 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
         + _complex_matrix_consts(t1.real, t1.imag)
         + _complex_matrix_consts(*rxm)
     )  # 24 arrays
-    if is_sc:
+    if spec.is_sc:
         # SC-FDE RX back-end: equalized bins -> time symbols via one IDFT.
         from ofdm_tpu.ops.dft import dft_matrix
 
         fi_r, fi_i = dft_matrix(n, inverse=True)
         consts = consts + _complex_matrix_consts(fi_r, fi_i)  # 30 arrays
+
     h = s.h_freq.astype(np.complex128)
-    h_re = np.asarray(h.real, np.float32).reshape(1, n)
-    h_im = np.asarray(h.imag, np.float32).reshape(1, n)
-    h_abs2 = np.asarray(np.abs(h) ** 2, np.float32).reshape(1, n)
-    channel_gain = np.float32(np.mean(np.abs(h) ** 2))
-    zf_guard = np.where(h_abs2 == 0, np.float32(1e-20), h_abs2)
+    consts.append(np.asarray(h.real, np.float32).reshape(1, n))
+    consts.append(np.asarray(h.imag, np.float32).reshape(1, n))
+    consts.append(np.asarray(np.abs(h) ** 2, np.float32).reshape(1, n))
+    # ZF gain rows precomputed with the reference's exact dead-bin semantics
+    # (equalization/models.py:22-35): H==0 bins divide by eps=1e-10, giving
+    # huge (not zero) symbols — matching the XLA path's intent exactly.
+    h_z = np.where(h == 0, np.complex128(1e-10), h)
+    zf_g = 1.0 / h_z
+    consts.append(np.asarray(zf_g.real, np.float32).reshape(1, n))
+    consts.append(np.asarray(zf_g.imag, np.float32).reshape(1, n))
 
-    def _gray(i):
-        return i ^ (i >> 1)
+    if spec.mode == "aqam":
+        # Per-subcarrier order parameters as (1, n) lane rows.  Inactive
+        # subcarriers (order 0) get mask=0, m=1, logm=0, scale=0, inv=1:
+        # tx and rx indices then both evaluate to 0 with no bit errors —
+        # no separate "active" row is needed.
+        orders = s.amap.orders
+        active = orders > 0
+        m_side = np.where(active, np.round(np.sqrt(np.maximum(orders, 1))), 1).astype(np.int64)
+        logm = np.where(active, np.round(np.log2(np.maximum(m_side, 1))), 0).astype(np.int64)
+        from ofdm_tpu.ops.mapping import make_constellation
 
-    def _inv_gray(g):
-        shift = 1
-        while shift < bits:
-            g = g ^ (g >> shift)
-            shift <<= 1
-        return g
+        scales = np.zeros(n, dtype=np.float64)
+        for k, o in enumerate(orders):
+            if o > 0:
+                scales[k] = make_constellation("QAM", int(o)).scale
+        inv_scale = np.where(active, 1.0 / np.where(scales == 0, 1.0, scales), 1.0)
+        consts.append(np.where(active, orders - 1, 0).astype(np.int32).reshape(1, n))
+        consts.append(m_side.astype(np.int32).reshape(1, n))
+        consts.append(logm.astype(np.int32).reshape(1, n))
+        consts.append(np.asarray(scales, np.float32).reshape(1, n))
+        consts.append(np.asarray(inv_scale, np.float32).reshape(1, n))
 
+    channel_gain = np.asarray([np.mean(np.abs(h) ** 2)], np.float32)  # SMEM scalar
+    return (jnp.asarray(channel_gain),) + tuple(jnp.asarray(c) for c in consts)
+
+
+def _gray_static(i):
+    return i ^ (i >> 1)
+
+
+def _inv_gray_static(g, width: int):
+    shift = 1
+    while shift < width:
+        g = g ^ (g >> shift)
+        shift <<= 1
+    return g
+
+
+@functools.lru_cache(maxsize=None)
+def _fn_for_spec(spec: _Spec):
+    """Build the per-spec shared chunk function (kernel + pallas_call).
+
+    Returned callable: fn(key, carry: CArray (T,), snr_db, sqrt_power,
+    consts) -> (stats dict, new_carry).  Cached so equal specs return the
+    SAME function object — pipeline's shared jit cache then reuses one
+    compiled executable across runners.
+    """
+    n, L, T = spec.n, spec.L, spec.T
+    mode = spec.mode
+    is_qam = mode == "qam"
+    is_aqam = mode == "aqam"
+    order = spec.order
+    m_side = int(np.sqrt(order)) if is_qam else 0
     logm = int(np.log2(m_side)) if is_qam else 0
+    is_gray = spec.is_gray
+    bits = spec.bits
+    passes = spec.passes
+    tiles = spec.tiles
+    add_noise = spec.add_noise
+    method = spec.method
+    is_sc = spec.is_sc
+    scale = None
+    if is_qam:
+        from ofdm_tpu.ops.mapping import make_constellation
+
+        scale = np.float32(make_constellation("QAM", order).scale)
 
     def kernel(
-        seed_ref,  # SMEM (3,): key0, key1, snr bits handled separately
+        seed_ref,  # SMEM (2,) i32: key words
         snr_ref,  # SMEM (1,) f32
+        cg_ref,  # SMEM (1,) f32: mean |H|^2 (MMSE)
         carry_re_ref,  # (1, T)
         carry_im_ref,
         *refs,
@@ -243,8 +408,10 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
         if is_sc:
             idft_c = rest[:6]
             rest = rest[6:]
+        (hre_ref, him_ref, habs2_ref, zfgr_ref, zfgi_ref, *rest) = rest
+        if is_aqam:
+            (mask_ref, mrow_ref, logm_ref, scale_ref, invs_ref, *rest) = rest
         (
-            hre_ref, him_ref, habs2_ref, zfg_ref,
             be_ref, se_ref, pmax_ref, psum_ref, cout_re_ref, cout_im_ref,
             prev_re, prev_im,
         ) = rest
@@ -255,20 +422,39 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
 
         # --- TX: random indices -> constellation points (arithmetic) -------
         raw = pltpu.bitcast(pltpu.prng_random_bits((_TILE, n)), jnp.int32)
-        tx_idx = raw & (order - 1)
-        if is_qam:
+        if is_aqam:
+            # Per-subcarrier masked draw: uniform bits & (order_k - 1) is a
+            # uniform index for subcarrier k (ops.adaptive.index_mask).
+            tx_idx = raw & mask_ref[:]
+            mrow = mrow_ref[:]
+            lrow = logm_ref[:]
+            srow = scale_ref[:]
+            # Vectorized gray/zigzag grid walk: qam_point_planar with
+            # per-lane (m, scale); shifts replace // and % (m power of 2).
+            row = tx_idx >> lrow
+            col = tx_idx & (mrow - 1)
+            colz = jnp.where((row & 1) == 1, mrow - 1 - col, col)
+            p = _gray_static((row << lrow) | colz)
+            mf = mrow.astype(jnp.float32)
+            c2 = (p & (mrow - 1)).astype(jnp.float32)
+            r2 = (p >> lrow).astype(jnp.float32)
+            sr = (2.0 * c2 - (mf - 1.0)) * srow
+            si = ((mf - 1.0) - 2.0 * r2) * srow
+        elif is_qam:
+            tx_idx = raw & (order - 1)
             # Gray/zigzag grid walk (mapping.qam_point_planar semantics).
             row = tx_idx >> logm
             col = tx_idx & (m_side - 1)
             colz = jnp.where((row & 1) == 1, m_side - 1 - col, col)
-            p = _gray((row << logm) | colz) if is_gray else tx_idx
+            p = _gray_static((row << logm) | colz) if is_gray else tx_idx
             c2 = (p & (m_side - 1)).astype(jnp.float32)
             r2 = (p >> logm).astype(jnp.float32)
             sr = (2.0 * c2 - (m_side - 1)) * scale
             si = ((m_side - 1) - 2.0 * r2) * scale
         else:
+            tx_idx = raw & (order - 1)
             # PSK: table[i] = exp(2pi*j*inverse_gray(i)/M).
-            p = _inv_gray(tx_idx) if is_gray else tx_idx
+            p = _inv_gray_static(tx_idx, bits) if is_gray else tx_idx
             ang = p.astype(jnp.float32) * np.float32(2.0 * np.pi / order)
             sr = jnp.cos(ang)
             si = jnp.sin(ang)
@@ -340,15 +526,16 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
         fr, fi_ = _cmatmul(yr, yi, (rx_c0[:], rx_c1[:], rx_c2[:], rx_c3[:], rx_c4[:], rx_c5[:]), passes)
 
         # --- equalize ---------------------------------------------------------------
-        hre = hre_ref[:]
-        him = him_ref[:]
         if method == EqualizationMethod.ZF:
-            g = 1.0 / zfg_ref[:]
-            er = (fr * hre + fi_ * him) * g
-            ei = (fi_ * hre - fr * him) * g
+            gr = zfgr_ref[:]
+            gi = zfgi_ref[:]
+            er = fr * gr - fi_ * gi
+            ei = fi_ * gr + fr * gi
         elif method == EqualizationMethod.MMSE:
+            hre = hre_ref[:]
+            him = him_ref[:]
             sp = jnp.mean(fr * fr + fi_ * fi_, axis=1, keepdims=True)  # (Bt, 1)
-            nv = sp / snr_lin / channel_gain
+            nv = sp / snr_lin / cg_ref[0]
             g = 1.0 / (habs2_ref[:] + nv)
             er = (fr * hre + fi_ * him) * g
             ei = (fi_ * hre - fr * him) * g
@@ -364,14 +551,26 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
             )
 
         # --- demap (arith slicer) + error counts --------------------------------------
-        if is_qam:
+        if is_aqam:
+            xs = er * invs_ref[:]
+            ys = ei * invs_ref[:]
+            mf = mrow.astype(jnp.float32)
+            cc = jnp.clip(jnp.round((xs + (mf - 1.0)) * 0.5), 0.0, mf - 1.0).astype(jnp.int32)
+            rr = jnp.clip(jnp.round(((mf - 1.0) - ys) * 0.5), 0.0, mf - 1.0).astype(jnp.int32)
+            pp = rr * mrow + cc
+            j = _inv_gray_static(pp, bits)
+            rowj = j >> lrow
+            colj = j & (mrow - 1)
+            colzj = jnp.where((rowj & 1) == 1, mrow - 1 - colj, colj)
+            rx_idx = (rowj << lrow) | colzj
+        elif is_qam:
             xs = er / scale
             ys = ei / scale
             cc = jnp.clip(jnp.round((xs + (m_side - 1)) * 0.5), 0, m_side - 1).astype(jnp.int32)
             rr = jnp.clip(jnp.round(((m_side - 1) - ys) * 0.5), 0, m_side - 1).astype(jnp.int32)
             pp = rr * m_side + cc
             if is_gray:
-                j = _inv_gray(pp)
+                j = _inv_gray_static(pp, bits)
                 rowj = j >> logm
                 colj = j & (m_side - 1)
                 colzj = jnp.where((rowj & 1) == 1, m_side - 1 - colj, colj)
@@ -380,7 +579,7 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
                 rx_idx = pp
         else:
             sector = psk_sector_arith(er, ei, order)
-            rx_idx = _gray(sector) if is_gray else sector
+            rx_idx = _gray_static(sector) if is_gray else sector
 
         x = tx_idx ^ rx_idx
         berr = jnp.zeros((), jnp.int32)
@@ -398,14 +597,12 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
             se_ref[0, 0] = se_ref[0, 0] + serr
 
     # --- pallas_call wiring ---------------------------------------------------
-    const_arrays = [jnp.asarray(c) for c in consts] + [
-        jnp.asarray(h_re), jnp.asarray(h_im), jnp.asarray(h_abs2), jnp.asarray(zf_guard)
-    ]
+    n_vmem_consts = 24 + (6 if is_sc else 0) + 5 + (5 if is_aqam else 0)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2  # seeds, snr
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3  # seeds, snr, channel gain
         + [vmem_full] * 2  # carry planes (1, T)
-        + [vmem_full] * len(const_arrays)
+        + [vmem_full] * n_vmem_consts
     )
     out_shape = (
         jax.ShapeDtypeStruct((1, 1), jnp.int32),  # bit errors
@@ -437,18 +634,21 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
         ],
         # CPU test coverage via the Mosaic emulator (plain interpret=True
         # cannot lower prng_seed on cpu); tests/test_pallas_link.py.
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=pltpu.InterpretParams() if spec.interpret else False,
     )
+    num_syms = tiles * _TILE
 
-    def fn(key, carry: CArray, snr_db, sqrt_power):
+    def fn(key, carry: CArray, snr_db, sqrt_power, consts):
         del sqrt_power  # not applied in supported configs
+        cg, *mats = consts
         data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)[:2].astype(jnp.int32)
         be, se, pmax, psum, cre, cim = call(
             data,
             jnp.asarray(snr_db, jnp.float32).reshape(1),
+            cg,
             carry.re.reshape(1, T),
             carry.im.reshape(1, T),
-            *const_arrays,
+            *mats,
         )
         stats = {
             "bit_errors": be[0, 0],
@@ -460,3 +660,29 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
         return stats, CArray(cre[0], cim[0])
 
     return fn
+
+
+def make_pallas_chunk_lifted(runner, num_syms: int, interpret: bool = False):
+    """(shared_fn, consts, spec) for `runner`, or None if unsupported.
+
+    ``shared_fn(key, carry, snr_db, sqrt_power, consts)`` is the SAME
+    function object for every runner with an equal spec; callers cache
+    `jax.jit(shared_fn)` keyed on the spec so sweeps reuse one executable.
+    """
+    spec = _spec_for(runner, num_syms, interpret)
+    if spec is None:
+        return None
+    return _fn_for_spec(spec), _consts_for(runner, spec), spec
+
+
+def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
+    """Build the fused chunk fn for `runner` or return None if unsupported.
+
+    Returned callable: fn(key, carry: CArray (T,), snr_db, sqrt_power)
+    -> (stats dict, new_carry), matching LinkRunner.chunk_body's contract.
+    """
+    lifted = make_pallas_chunk_lifted(runner, num_syms, interpret)
+    if lifted is None:
+        return None
+    fn, consts, _ = lifted
+    return lambda key, carry, snr_db, sqrt_power: fn(key, carry, snr_db, sqrt_power, consts)

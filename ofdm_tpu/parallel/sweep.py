@@ -1,8 +1,10 @@
 """Sharded Monte-Carlo execution + SNR x channel sweep driver.
 
-`ShardedLinkRunner` maps `LinkRunner.chunk_body` over a device mesh with
-`shard_map`: each device simulates an independent slice of the OFDM-symbol
-batch with its own fold_in'd PRNG stream and its own convolution stream
+`ShardedLinkRunner` maps the per-chunk hot path (`LinkRunner._chunk_fn`,
+i.e. the fused Pallas kernel when supported, the XLA chunk_body otherwise)
+over a device mesh with `shard_map`: each device simulates an independent
+slice of the OFDM-symbol batch with its own fold_in'd PRNG stream and its
+own convolution stream
 (SURVEY §7.2 step 7: per-shard independent streams are statistically
 identical to one long stream and avoid halo exchange; the cross-chunk carry
 *within* each shard still makes every shard's stream exactly contiguous).
@@ -37,6 +39,11 @@ from ofdm_tpu.ops import cplx
 from ofdm_tpu.parallel.mesh import MC_AXIS, make_mesh
 from ofdm_tpu.pipeline import LinkRunner, LinkSetup, prepare
 
+# Shared executables for the sharded fused-kernel path, keyed on
+# (kernel spec, mesh, chunk layout) — mirrors pipeline._SHARED_JIT so a
+# sharded SNR x channel sweep also compiles once.
+_SHARED_SHARD_JIT: Dict[Any, Any] = {}
+
 
 class ShardedLinkRunner(LinkRunner):
     """LinkRunner whose chunks shard the OFDM-symbol batch over a mesh.
@@ -46,8 +53,27 @@ class ShardedLinkRunner(LinkRunner):
     global (psum'd).  Requires the batch to divide evenly.
     """
 
-    def __init__(self, setup: LinkSetup, mesh: Optional[Mesh] = None):
+    def __init__(
+        self,
+        setup: LinkSetup,
+        mesh: Optional[Mesh] = None,
+        stream_mode: str = "independent",
+    ):
+        """``stream_mode``:
+
+        * ``"independent"`` (default) — each shard runs its own contiguous
+          convolution stream (statistically identical to one long stream,
+          SURVEY §7.2 step 7; keeps the fused Pallas kernel hot path).
+        * ``"halo"`` — the sharded batch is ONE contiguous shard-major
+          stream; the convolution carry crosses shard boundaries via
+          ppermute (parallel.halo), making the sharded convolution
+          bit-exact vs an unsharded run of the same stream.  Runs the XLA
+          chunk path (the exchange happens outside any fused kernel).
+        """
         super().__init__(setup)
+        if stream_mode not in ("independent", "halo"):
+            raise ValueError(f"unknown stream_mode: {stream_mode!r}")
+        self.stream_mode = stream_mode
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_dev = self.mesh.devices.size
 
@@ -59,20 +85,27 @@ class ShardedLinkRunner(LinkRunner):
                 f"{self.n_dev} devices"
             )
         local = num_syms_global // self.n_dev
+        # Per-shard body via _chunk_fn: prefers the fused Pallas kernel
+        # (per-device chunk is kept a tile multiple by run()'s rounding via
+        # _pallas_chunk_multiple) so multi-chip keeps the single-chip
+        # per-chip throughput; falls back to the XLA chunk_body with a
+        # pmean'd global AWGN power measurement.  stream_mode="halo" always
+        # takes the XLA body with the ppermute carry exchange (in halo mode
+        # every shard's carry slot holds the same replicated global carry).
+        if self.stream_mode == "halo":
+            body = lambda key, carry, snr_db, sqrt_power: self.chunk_body(  # noqa: E731
+                key, carry, local, return_symbols,
+                snr_db=snr_db, sqrt_power=sqrt_power,
+                axis_name=MC_AXIS, halo_axis=MC_AXIS,
+            )
+        else:
+            body = self._chunk_fn(local, return_symbols, axis_name=MC_AXIS)
 
         def fn(key, carry, snr_db, sqrt_power):
             # carry: per-shard (n_dev, K-1) complex-ish, stacked on axis 0.
             idx = jax.lax.axis_index(MC_AXIS)
             k = jax.random.fold_in(key, idx)
-            stats, new_carry = self.chunk_body(
-                k,
-                carry[0],
-                local,
-                return_symbols,
-                snr_db=snr_db,
-                sqrt_power=sqrt_power,
-                axis_name=MC_AXIS,
-            )
+            stats, new_carry = body(k, carry[0], snr_db, sqrt_power)
             stats["bit_errors"] = jax.lax.psum(stats["bit_errors"], MC_AXIS)
             stats["symbol_errors"] = jax.lax.psum(stats["symbol_errors"], MC_AXIS)
             stats["papr_peak"] = jax.lax.pmax(stats["papr_peak"], MC_AXIS)
@@ -110,8 +143,60 @@ class ShardedLinkRunner(LinkRunner):
             lambda a: jnp.broadcast_to(a[None], (self.n_dev,) + a.shape), base
         )
 
+    def _shard_lifted(self, num_syms_global: int):
+        """Shared-executable sharded chunk: (fn, consts, spec, local) or None."""
+        if self.stream_mode == "halo" or num_syms_global % self.n_dev != 0:
+            return None
+        local = num_syms_global // self.n_dev
+        lifted = self._lifted(local)
+        if lifted is None:
+            return None
+        fn, consts, spec = lifted
+        return fn, consts, spec, local
+
+    def _build_shard_pallas(self, fn, consts_tree):
+        """shard_map the per-spec shared kernel fn, consts as replicated args."""
+
+        def f(key, carry, snr_db, sqrt_power, consts):
+            idx = jax.lax.axis_index(MC_AXIS)
+            k = jax.random.fold_in(key, idx)
+            stats, new_carry = fn(k, carry[0], snr_db, sqrt_power, consts)
+            stats["bit_errors"] = jax.lax.psum(stats["bit_errors"], MC_AXIS)
+            stats["symbol_errors"] = jax.lax.psum(stats["symbol_errors"], MC_AXIS)
+            stats["papr_peak"] = jax.lax.pmax(stats["papr_peak"], MC_AXIS)
+            stats["papr_sum"] = jax.lax.psum(stats["papr_sum"], MC_AXIS)
+            stats["papr_count"] = jax.lax.psum(stats["papr_count"], MC_AXIS)
+            new_carry = jax.tree.map(lambda a: a[None], new_carry)
+            return stats, new_carry
+
+        carry_spec = jax.tree.map(lambda _: P(MC_AXIS), self._init_carry_sharded())
+        out_stats_spec: Dict[str, Any] = {
+            "bit_errors": P(),
+            "symbol_errors": P(),
+            "papr_peak": P(),
+            "papr_sum": P(),
+            "papr_count": P(),
+        }
+        return shard_map(
+            f,
+            mesh=self.mesh,
+            in_specs=(P(), carry_spec, P(), P(), jax.tree.map(lambda _: P(), consts_tree)),
+            out_specs=(out_stats_spec, carry_spec),
+            check_vma=False,
+        )
+
     # Override the compiled step/scan builders to use the sharded chunk.
     def _step(self, num_syms: int, return_symbols: bool):
+        if not return_symbols:
+            lifted = self._shard_lifted(num_syms)
+            if lifted is not None:
+                fn, consts, spec, local = lifted
+                jkey = ("sstep", spec, self.mesh)
+                j = _SHARED_SHARD_JIT.get(jkey)
+                if j is None:
+                    sm = self._build_shard_pallas(fn, consts)
+                    j = _SHARED_SHARD_JIT.setdefault(jkey, jax.jit(sm))
+                return lambda key, carry, snr, sp: j(key, carry, snr, sp, consts)
         key_ = ("sstep", num_syms, return_symbols)
         if key_ not in self._jitted:
             fn, _ = self._shard_chunk(num_syms, return_symbols)
@@ -119,6 +204,25 @@ class ShardedLinkRunner(LinkRunner):
         return self._jitted[key_]
 
     def _scan(self, num_chunks: int, num_syms: int):
+        lifted = self._shard_lifted(num_syms)
+        if lifted is not None:
+            fn, consts, spec, local = lifted
+            jkey = ("sscan", spec, self.mesh, num_chunks)
+            j = _SHARED_SHARD_JIT.get(jkey)
+            if j is None:
+                sm = self._build_shard_pallas(fn, consts)
+
+                def g(key, carry0, snr_db, sqrt_power, consts_):
+                    def body(carry, i):
+                        stats, carry = sm(
+                            jax.random.fold_in(key, i), carry, snr_db, sqrt_power, consts_
+                        )
+                        return carry, stats
+
+                    return jax.lax.scan(body, carry0, jnp.arange(num_chunks))
+
+                j = _SHARED_SHARD_JIT.setdefault(jkey, jax.jit(g))
+            return lambda key, carry0, snr, sp: j(key, carry0, snr, sp, consts)
         key_ = ("sscan", num_chunks, num_syms)
         if key_ not in self._jitted:
             fn, _ = self._shard_chunk(num_syms, False)
@@ -138,6 +242,11 @@ class ShardedLinkRunner(LinkRunner):
     def _init_carry(self):
         return self._init_carry_sharded()
 
+    def _pallas_chunk_multiple(self) -> int:
+        from ofdm_tpu.ops import pallas_link
+
+        return self.n_dev * pallas_link._TILE
+
 
 # ---------------------------------------------------------------------------
 # Grid sweep driver (SNR x channel), with resumable results
@@ -151,6 +260,7 @@ def run_sweep(
     key: Optional[jax.Array] = None,
     mesh: Optional[Mesh] = None,
     sharded: bool = True,
+    stream_mode: str = "independent",
     collect_symbols: int = 0,
     results_manager=None,
 ) -> List[Dict[str, Any]]:
@@ -180,7 +290,7 @@ def run_sweep(
             if adaptive or runner is None:
                 setup = prepare(cfg.replace(snr_db=float(snr)))
                 runner = (
-                    runner_cls(setup, mesh=mesh)
+                    runner_cls(setup, mesh=mesh, stream_mode=stream_mode)
                     if runner_cls is ShardedLinkRunner
                     else runner_cls(setup)
                 )

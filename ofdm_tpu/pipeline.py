@@ -185,6 +185,13 @@ def prepare(
     )
 
 
+# Process-wide executable cache for the fused-kernel hot path: keyed on the
+# kernel's static _Spec (ops.pallas_link), with all data constants passed as
+# runtime arguments — so every runner whose spec matches (same shapes/modes,
+# ANY channel / SNR / adaptive order layout) shares one compiled program.
+_SHARED_JIT: Dict[Any, Any] = {}
+
+
 class LinkRunner:
     """Compiled executor for one `LinkSetup`.
 
@@ -196,6 +203,10 @@ class LinkRunner:
     def __init__(self, setup: LinkSetup):
         self.setup = setup
         self._jitted = {}
+        # Test hook: run the fused Pallas kernel via the Mosaic emulator on
+        # CPU (tests/test_parallel.py asserts the kernel is *selected* under
+        # shard_map without TPU hardware).  Never set in production.
+        self._interpret = False
 
     # -- engine selection -----------------------------------------------------
     @property
@@ -240,8 +251,14 @@ class LinkRunner:
         snr_db: Optional[jnp.ndarray] = None,
         sqrt_power: Optional[jnp.ndarray] = None,
         axis_name: Optional[str] = None,
+        halo_axis: Optional[str] = None,
     ):
         """Process ``num_syms`` OFDM symbols; returns stats + new carry.
+
+        ``halo_axis``: when set (ShardedLinkRunner stream_mode="halo"), the
+        convolution treats the sharded batch as ONE contiguous stream —
+        neighbor shards exchange the carry via ppermute (parallel.halo), and
+        the sharded output is bit-exact vs the unsharded stream convolution.
 
         Fully traceable: called under jit by `run()` and under shard_map by
         the sweep driver (which supplies a psum'd ``measured_power``).
@@ -316,9 +333,16 @@ class LinkRunner:
                 symbols, n, cfg.prefix_type, s.prefix_length, cfg.modulation_type
             )
             papr_peak, papr_sum, papr_count = mt.papr_stats(blocks)
-            rx_blocks, conv_carry = linops.convolve(
-                blocks, c["conv_t0"], c["conv_t1"], conv_carry
-            )
+            if halo_axis is not None:
+                from ofdm_tpu.parallel import halo
+
+                rx_blocks, conv_carry = halo.convolve_stream_sharded(
+                    blocks, c["conv_t0"], c["conv_t1"], conv_carry, halo_axis
+                )
+            else:
+                rx_blocks, conv_carry = linops.convolve(
+                    blocks, c["conv_t0"], c["conv_t1"], conv_carry
+                )
             if add_noise:
                 rx_blocks = ch.awgn(
                     knoise, rx_blocks, snr_db, measured_power, axis_name
@@ -334,16 +358,27 @@ class LinkRunner:
             papr_peak, papr_sum, papr_count = mt.papr_stats(blocks)
 
             # --- channel -------------------------------------------------------
-            rx_blocks, conv_carry = ch.transmit(
-                knoise,
-                blocks,
-                c["taps"],
-                snr_db,
-                add_noise=add_noise,
-                carry=conv_carry,
-                measured_power=measured_power,
-                axis_name=axis_name,
-            )
+            if halo_axis is not None:
+                from ofdm_tpu.parallel import halo
+
+                rx_blocks, conv_carry = halo.convolve_taps_sharded(
+                    blocks, c["taps"], conv_carry, halo_axis
+                )
+                if add_noise:
+                    rx_blocks = ch.awgn(
+                        knoise, rx_blocks, snr_db, measured_power, axis_name
+                    )
+            else:
+                rx_blocks, conv_carry = ch.transmit(
+                    knoise,
+                    blocks,
+                    c["taps"],
+                    snr_db,
+                    add_noise=add_noise,
+                    carry=conv_carry,
+                    measured_power=measured_power,
+                    axis_name=axis_name,
+                )
             freq = ofdm.ofdm_demodulate_to_freq(
                 rx_blocks, n, cfg.prefix_type, s.prefix_length
             )
@@ -380,9 +415,15 @@ class LinkRunner:
     # (received_symbols is a CArray on the planar engine; run() converts.)
 
     # -- compiled chunk step --------------------------------------------------
-    def _chunk_fn(self, num_syms: int, return_symbols: bool):
+    def _chunk_fn(self, num_syms: int, return_symbols: bool, axis_name=None):
         """Traceable chunk callable; prefers the fused Pallas kernel when the
-        config supports it (hotpath="pallas") and falls back to chunk_body."""
+        config supports it (hotpath="pallas") and falls back to chunk_body.
+
+        ``axis_name``: mesh axis for the XLA fallback's global AWGN power
+        pmean under shard_map.  The fused kernel measures power per tile
+        (>= 64k samples — statistically identical, see pallas_link docstring)
+        so it needs no collective.
+        """
         if (
             self.setup.cfg.hotpath in ("auto", "pallas")
             and not return_symbols
@@ -390,15 +431,34 @@ class LinkRunner:
         ):
             from ofdm_tpu.ops import pallas_link
 
-            fn = pallas_link.make_pallas_chunk(self, num_syms)
+            fn = pallas_link.make_pallas_chunk(self, num_syms, interpret=self._interpret)
             if fn is not None:
                 return fn
         return lambda key, carry, snr_db, sqrt_power: self.chunk_body(
             key, carry, num_syms, return_symbols,
-            snr_db=snr_db, sqrt_power=sqrt_power,
+            snr_db=snr_db, sqrt_power=sqrt_power, axis_name=axis_name,
+        )
+
+    def _lifted(self, num_syms: int):
+        """Shared-executable Pallas chunk: (fn, consts, spec) or None."""
+        if self.setup.cfg.hotpath not in ("auto", "pallas") or not self.planar:
+            return None
+        from ofdm_tpu.ops import pallas_link
+
+        return pallas_link.make_pallas_chunk_lifted(
+            self, num_syms, interpret=self._interpret
         )
 
     def _step(self, num_syms: int, return_symbols: bool):
+        if not return_symbols:
+            lifted = self._lifted(num_syms)
+            if lifted is not None:
+                fn, consts, spec = lifted
+                jkey = ("step", spec)
+                j = _SHARED_JIT.get(jkey)
+                if j is None:
+                    j = _SHARED_JIT.setdefault(jkey, jax.jit(fn))
+                return lambda key, carry, snr, sp: j(key, carry, snr, sp, consts)
         key_ = ("step", num_syms, return_symbols)
         if key_ not in self._jitted:
             self._jitted[key_] = jax.jit(self._chunk_fn(num_syms, return_symbols))
@@ -411,7 +471,32 @@ class LinkRunner:
         inside the executable makes a whole Monte-Carlo run one round trip.
         Per-chunk stats come back stacked (host sums in Python ints, so >2^31
         total bit errors can't overflow the int32 device counters).
+
+        On the fused-kernel path the scan executable is cached *globally*
+        keyed on the kernel spec — the link matrices / equalizer rows /
+        adaptive order rows are runtime arguments, so an SNR x channel (or
+        adaptive per-point) sweep compiles ONCE and every subsequent point
+        reuses the executable (remote compiles cost minutes; this is the
+        difference between an all-compile sweep and a compute-bound one).
         """
+        lifted = self._lifted(num_syms)
+        if lifted is not None:
+            fn, consts, spec = lifted
+            jkey = ("scan", spec, num_chunks)
+            j = _SHARED_JIT.get(jkey)
+            if j is None:
+
+                def f(key, carry0, snr_db, sqrt_power, consts_):
+                    def body(carry, i):
+                        stats, carry = fn(
+                            jax.random.fold_in(key, i), carry, snr_db, sqrt_power, consts_
+                        )
+                        return carry, stats
+
+                    return jax.lax.scan(body, carry0, jnp.arange(num_chunks))
+
+                j = _SHARED_JIT.setdefault(jkey, jax.jit(f))
+            return lambda key, carry0, snr, sp: j(key, carry0, snr, sp, consts)
         key_ = ("scan", num_chunks, num_syms)
         if key_ not in self._jitted:
 
@@ -443,6 +528,17 @@ class LinkRunner:
         power = al.waterfilling(1.0, s.channel_gains, noise_power)
         return power, al.water_level(power, s.channel_gains, noise_power)
 
+    def _pallas_chunk_multiple(self) -> int:
+        """Chunk granularity that keeps the bulk on the fused kernel.
+
+        Single device: the kernel's grid tile.  ShardedLinkRunner overrides
+        with n_devices * tile so every *per-device* chunk stays a tile
+        multiple under shard_map.
+        """
+        from ofdm_tpu.ops import pallas_link
+
+        return pallas_link._TILE
+
     def _init_carry(self):
         if self.planar:
             if self.setup.cfg.hotpath in ("auto", "matmul", "pallas"):
@@ -461,14 +557,24 @@ class LinkRunner:
         key: jax.Array,
         collect_symbols: int = 0,
         snr_db: Optional[float] = None,
+        render_constellation: bool = False,
     ) -> Dict[str, Any]:
         """Execute the whole simulation; returns a reference-style results dict.
 
         ``snr_db`` overrides the config's SNR *without recompiling* (fixed
         mode only): one LinkRunner serves a whole SNR sweep.  Adaptive mode
         raises — its bit loading is SNR-dependent; build one runner per point.
+
+        ``render_constellation=True`` renders the reference's in-run
+        constellation figure into ``results["constellation_plot"]`` (a PIL
+        image, simulation/models.py:630-796).  Default off: on TPU, plotting
+        belongs off the hot path (ResultsManager renders from
+        ``received_symbols``); the key is always present for drop-in
+        reference-dict compatibility (None when not rendered).
         """
         s = self.setup
+        if render_constellation and collect_symbols <= 0:
+            collect_symbols = 4096  # enough for a representative scatter
         if snr_db is None:
             snr_db = s.cfg.snr_db
         elif s.is_adaptive and snr_db != s.cfg.snr_db:
@@ -482,15 +588,28 @@ class LinkRunner:
         B = s.num_ofdm_symbols
         chunk = s.cfg.symbols_per_chunk or B
         chunk = min(chunk, B)
+        # Error counters accumulate on-device in int32 (metrics.index_bit_errors
+        # and the fused kernel's SMEM accumulators run per *chunk*).  Cap the
+        # effective chunk so one chunk can never carry >= 2^31 bits, whatever
+        # symbols_per_chunk the caller asked for; the host accumulates chunk
+        # totals in Python ints, so whole runs stay exact at any size.
+        max_chunk = (2**31 - 1) // max(s.bits_per_ofdm_symbol, 1)
+        chunk = min(chunk, max_chunk)
+        hotpath_used = "xla"
+        matmul_passes_used = None
         if self.planar and s.cfg.hotpath in ("auto", "pallas"):
             # Keep the scanned bulk on the fused Pallas kernel (which needs a
-            # _TILE-multiple chunk): round the chunk down and let the <_TILE
+            # _TILE-multiple chunk — per *device* under sharding, see
+            # _pallas_chunk_multiple): round the chunk down and let the
             # remainder run one XLA step, instead of silently dropping the
             # whole run to the ~10x slower XLA path.
             from ofdm_tpu.ops import pallas_link
 
-            if chunk >= pallas_link._TILE and pallas_link.supports(self):
-                chunk -= chunk % pallas_link._TILE
+            gran = self._pallas_chunk_multiple()
+            if chunk >= gran and pallas_link.supports(self, interpret=self._interpret):
+                chunk -= chunk % gran
+                hotpath_used = "pallas"
+                matmul_passes_used = pallas_link.selected_passes(self)
 
         totals = {"bit_errors": 0, "symbol_errors": 0}
         papr_peak, papr_sum, papr_count = 0.0, 0.0, 0
@@ -500,8 +619,13 @@ class LinkRunner:
         rem = B % chunk
 
         if collect_symbols > 0:
-            # Replay chunk 0 with symbol capture (same key/carry as the main
-            # accumulation — identical data, tiny extra cost).
+            # Replay chunk 0 with symbol capture.  The replay always runs the
+            # XLA chunk_body (return_symbols disables the fused kernel), so
+            # when the scanned bulk ran the Pallas kernel the sample is a
+            # *different random realization* drawn from the same seed — a
+            # statistically (not bitwise) representative constellation sample.
+            # With hotpath="matmul"/engine="complex" both paths are XLA and
+            # the sample is the exact chunk-0 data.
             step0 = self._step(min(chunk, B), True)
             stats0, _ = step0(
                 jax.random.fold_in(key, 0), self._init_carry(), snr_arr, sqrt_power
@@ -577,7 +701,23 @@ class LinkRunner:
             # TPU-native throughput counters (SURVEY §5 tracing gap)
             "ofdm_symbols_per_s": B / elapsed if elapsed > 0 else float("inf"),
             "bits_per_s": s.total_bits / elapsed if elapsed > 0 else float("inf"),
+            # Numeric-mode provenance (ADVICE r1): which hot path produced
+            # this curve and, on the fused kernel, how many bf16 split passes
+            # per MXU matmul (1 = ~6e-3 rel err bf16, 3 = f32-grade bf16x3).
+            "hotpath_used": hotpath_used,
+            "matmul_passes_used": matmul_passes_used,
+            "constellation_plot": None,
         }
+        if render_constellation:
+            from ofdm_tpu.utils.visualization import render_results_constellation
+
+            results["constellation_plot"] = render_results_constellation(
+                results,
+                s.constellation_points,
+                s.constellation_orders,
+                cfg.num_subcarriers,
+                adaptive=s.is_adaptive,
+            )
         return results
 
 
@@ -586,9 +726,14 @@ def simulate(
     key: Optional[jax.Array] = None,
     channel_ir: Optional[NDArray[np.complex128]] = None,
     collect_symbols: int = 0,
+    render_constellation: bool = False,
 ) -> Dict[str, Any]:
     """One-call convenience: prepare + run."""
     if key is None:
         key = jax.random.PRNGKey(0)
     setup = prepare(cfg, channel_ir)
-    return LinkRunner(setup).run(key, collect_symbols=collect_symbols)
+    return LinkRunner(setup).run(
+        key,
+        collect_symbols=collect_symbols,
+        render_constellation=render_constellation,
+    )

@@ -146,6 +146,59 @@ def plot_combined_constellation_analysis(
     return fig
 
 
+def render_results_constellation(
+    results: dict,
+    ideal_points: NDArray[np.complex128],
+    constellation_orders: NDArray[np.int64],
+    num_subcarriers: int,
+    adaptive: bool,
+):
+    """Rendered constellation figure for ``results["constellation_plot"]``.
+
+    Drop-in analog of the reference's in-run rendering
+    (simulation/models.py:630-796): fixed mode draws the single
+    received-vs-ideal scatter with the BER/SNR/PAPR text box; adaptive mode
+    the two-panel scatter + order-distribution figure.  Returns a PIL image
+    like the reference (saved through a PNG buffer).  On TPU this runs off
+    the hot path, only when LinkRunner.run(render_constellation=True).
+    """
+    from io import BytesIO
+
+    from PIL import Image
+
+    received = results.get("received_symbols")
+    received = (
+        np.zeros(0, np.complex128) if received is None else np.asarray(received)
+    )
+    ber = float(results["bit_error_rate"])
+    snr_db = results["snr_db"]
+    papr_db = float(results["papr_db"])
+    if adaptive:
+        fig = plot_combined_constellation_analysis(
+            np.asarray(constellation_orders),
+            received,
+            np.asarray(ideal_points),
+            num_subcarriers,
+            ber,
+            snr_db,
+            papr_db,
+        )
+    else:
+        fig = plt.figure(figsize=(8, 8))
+        _constellation_scatter(
+            fig.gca(), received, np.asarray(ideal_points), ber, snr_db, papr_db,
+            str(results["title"]),
+        )
+        fig.tight_layout()
+    buf = BytesIO()
+    fig.savefig(buf, format="png")
+    buf.seek(0)
+    image = Image.open(buf)
+    image.load()
+    plt.close(fig)
+    return image
+
+
 def plot_water_level_diagram(
     power_allocation: NDArray[np.float64],
     channel_gains: NDArray[np.float64],

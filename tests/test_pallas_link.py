@@ -172,6 +172,84 @@ def test_kernel_single_pass_bounded_error_on_worst_case():
     assert int(stats["bit_errors"]) / total_bits < 0.02
 
 
+def _adaptive_runner(snr=20.0, **kw):
+    from ofdm_tpu.config import AdaptiveModulationMode, PowerAllocationType
+
+    base = dict(
+        num_symbols=1024,  # CAPACITY_BASED: num_symbols = OFDM symbols
+        num_subcarriers=64,
+        constellation_order=16,
+        channel_type=ChannelType.CUSTOM,
+        channel_model="default_multipath",
+        prefix_type=PrefixType.CYCLIC,
+        prefix_length_ratio=1.0,
+        equalization_method=EqualizationMethod.MMSE,
+        power_allocation_type=PowerAllocationType.WATERFILLING,
+        adaptive_modulation_mode=AdaptiveModulationMode.CAPACITY_BASED,
+        snr_db=snr,
+        engine="planar",
+        hotpath="pallas",
+        matmul_passes=3,
+        noise_type=NoiseType.NONE,
+    )
+    base.update(kw)
+    return pl.LinkRunner(pl.prepare(SimulationConfig(**base)))
+
+
+def test_kernel_adaptive_qam_round_trip():
+    """Adaptive QAM runs IN the fused kernel: index-0 symbols decode exactly.
+
+    Zeroed emulator PRNG -> every subcarrier transmits index 0 of its own
+    order (inactive subcarriers transmit 0); with noise off the vectorized
+    per-subcarrier gray/zigzag chain must invert exactly.
+    """
+    runner = _adaptive_runner(snr=25.0, equalization_method=EqualizationMethod.ZF)
+    s = runner.setup
+    assert s.is_adaptive
+    orders = np.asarray(s.amap.orders)
+    assert len(np.unique(orders[orders > 0])) > 1, "want a mixed-order layout"
+    stats, carry = _run_kernel(runner, snr=25.0)
+    assert int(stats["bit_errors"]) == 0
+    assert int(stats["symbol_errors"]) == 0
+    assert carry.shape == (s.block_length,)
+
+
+def test_kernel_adaptive_psk_falls_back():
+    runner = _adaptive_runner(constellation_type=ConstellationType.PSK)
+    assert not pallas_link.supports(runner, interpret=True)
+    assert pallas_link.make_pallas_chunk(runner, 1024, interpret=True) is None
+
+
+def test_executable_shared_across_channels_and_orders():
+    """Equal specs -> the SAME shared chunk function object (one compile).
+
+    The link matrices / equalizer rows / adaptive order rows are runtime
+    args, so fixed-mode sweeps over channels and adaptive sweeps over SNR
+    points (varying order layouts) reuse one executable (VERDICT r1 item 2).
+    """
+    a = pallas_link.make_pallas_chunk_lifted(_runner(), 1024, interpret=True)
+    b = pallas_link.make_pallas_chunk_lifted(
+        _runner(channel_model="default_multipath"), 1024, interpret=True
+    )
+    assert a is not None and b is not None
+    assert a[0] is b[0] and a[2] == b[2]  # same fn object, equal spec
+
+    # Adaptive: different SNR -> different order layout, SAME executable.
+    r1 = _adaptive_runner(snr=18.0)
+    r2 = _adaptive_runner(snr=28.0)
+    assert not np.array_equal(r1.setup.amap.orders, r2.setup.amap.orders)
+    l1 = pallas_link.make_pallas_chunk_lifted(r1, 1024, interpret=True)
+    l2 = pallas_link.make_pallas_chunk_lifted(r2, 1024, interpret=True)
+    assert l1 is not None and l2 is not None
+    assert l1[0] is l2[0] and l1[2] == l2[2]
+
+    # Different fixed order -> different spec (static demap arithmetic).
+    c = pallas_link.make_pallas_chunk_lifted(
+        _runner(constellation_order=16), 1024, interpret=True
+    )
+    assert c[2] != a[2]
+
+
 def test_supports_predicate():
     """supports() mirrors the config gate (chunk-size-independent)."""
     assert pallas_link.supports(_runner(), interpret=True)

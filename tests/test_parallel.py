@@ -1,6 +1,7 @@
 """Mesh / sharded-sweep tests on the forced 8-device CPU mesh (SURVEY §4.3c)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -73,10 +74,149 @@ def test_sharded_collect_symbols():
     assert np.iscomplexobj(r["received_symbols"])
 
 
+def test_sharded_selects_pallas_kernel():
+    """The fused Pallas kernel runs under shard_map (VERDICT r1 item 1).
+
+    Mosaic interpret mode on a 4-device CPU mesh (this 4-core host deadlocks
+    running 8 concurrent emulator shard bodies; 4 exercises the same
+    shard_map + psum + kernel plumbing): zeroed emulator PRNG makes every
+    shard transmit index-0 symbols, so with noise off the linear chain must
+    decode exactly (0 errors) *through the sharded path*, and the results
+    dict must record the pallas hot path.
+    """
+    from ofdm_tpu.config import NoiseType
+
+    cfg = _cfg(
+        num_symbols=64 * 4 * 1024,  # 1024 OFDM symbols per device = 1 tile
+        constellation_order=64,
+        channel_model="Lin-Phoong_P2",
+        noise_type=NoiseType.NONE,
+        equalization_method=EqualizationMethod.ZF,
+        engine="planar",
+        hotpath="pallas",
+        matmul_passes=3,
+    )
+    runner = ShardedLinkRunner(pl.prepare(cfg), mesh=make_mesh(num_devices=4))
+    runner._interpret = True
+    r = runner.run(jax.random.PRNGKey(0))
+    assert r["hotpath_used"] == "pallas"
+    assert r["matmul_passes_used"] == 3
+    assert r["bit_errors"] == 0
+    assert r["symbol_errors"] == 0
+    assert runner._pallas_chunk_multiple() == 4 * 1024
+
+
 def test_sharded_rejects_indivisible_batch():
     cfg = _cfg(num_symbols=64 * 801)  # 801 OFDM symbols, not divisible by 8
     with pytest.raises(ValueError, match="not divisible"):
         ShardedLinkRunner(pl.prepare(cfg), mesh=make_mesh()).run(jax.random.PRNGKey(0))
+
+
+def _random_planar_blocks(rng, b, t):
+    from ofdm_tpu.ops.cplx import CArray
+
+    return CArray(
+        jnp.asarray(rng.normal(size=(b, t)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, t)), jnp.float32),
+    )
+
+
+def test_halo_matmul_conv_bitexact_vs_unsharded():
+    """ppermute halo stream conv == unsharded conv, bit-for-bit (VERDICT r1 item 5)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ofdm_tpu.models import channels as chm
+    from ofdm_tpu.ops import linops
+    from ofdm_tpu.ops.cplx import CArray
+    from ofdm_tpu.parallel import halo
+    from ofdm_tpu.parallel.mesh import MC_AXIS
+
+    taps = chm.normalize_impulse_response(chm.get_channel("default_multipath"))
+    T = 24
+    t0m, t1m = linops.conv_matrices(taps, T)
+    t0 = (jnp.asarray(t0m.real, jnp.float32), jnp.asarray(t0m.imag, jnp.float32))
+    t1 = (jnp.asarray(t1m.real, jnp.float32), jnp.asarray(t1m.imag, jnp.float32))
+
+    rng = np.random.default_rng(11)
+    blocks = _random_planar_blocks(rng, 8 * 5, T)  # 5 blocks per shard
+    carry = _random_planar_blocks(rng, 1, T)[0]  # nonzero previous-chunk row
+
+    want, want_carry = linops.convolve(blocks, t0, t1, carry)
+
+    mesh = make_mesh()
+    fn = jax.jit(shard_map(
+        lambda b, c: halo.convolve_stream_sharded(b, t0, t1, c, MC_AXIS),
+        mesh=mesh,
+        in_specs=(CArray(P(MC_AXIS), P(MC_AXIS)), CArray(P(), P())),
+        out_specs=(CArray(P(MC_AXIS), P(MC_AXIS)), CArray(P(), P())),
+    ))
+    got, got_carry = fn(blocks, carry)
+
+    np.testing.assert_array_equal(np.asarray(got.re), np.asarray(want.re))
+    np.testing.assert_array_equal(np.asarray(got.im), np.asarray(want.im))
+    np.testing.assert_array_equal(np.asarray(got_carry.re), np.asarray(want_carry.re))
+    np.testing.assert_array_equal(np.asarray(got_carry.im), np.asarray(want_carry.im))
+
+
+def test_halo_taps_conv_bitexact_vs_unsharded():
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ofdm_tpu.models import channels as chm
+    from ofdm_tpu.ops import channel as ch
+    from ofdm_tpu.ops import cplx
+    from ofdm_tpu.ops.cplx import CArray
+    from ofdm_tpu.parallel import halo
+    from ofdm_tpu.parallel.mesh import MC_AXIS
+
+    taps = cplx.from_complex(
+        chm.normalize_impulse_response(chm.get_channel("severe_multipath"))
+    )
+    K = taps.shape[0]
+    rng = np.random.default_rng(5)
+    blocks = _random_planar_blocks(rng, 8 * 3, 32)
+    carry = _random_planar_blocks(rng, 1, K - 1)[0]
+
+    # jit the reference too: XLA's elementwise fusion (FMA contraction) must
+    # match on both sides for a bit-exact comparison.
+    want, want_carry = jax.jit(lambda b, c: ch.convolve_blocks(b, taps, c))(blocks, carry)
+
+    mesh = make_mesh()
+    fn = jax.jit(shard_map(
+        lambda b, c: halo.convolve_taps_sharded(b, taps, c, MC_AXIS),
+        mesh=mesh,
+        in_specs=(CArray(P(MC_AXIS), P(MC_AXIS)), CArray(P(), P())),
+        out_specs=(CArray(P(MC_AXIS), P(MC_AXIS)), CArray(P(), P())),
+    ))
+    got, got_carry = fn(blocks, carry)
+
+    np.testing.assert_array_equal(np.asarray(got.re), np.asarray(want.re))
+    np.testing.assert_array_equal(np.asarray(got.im), np.asarray(want.im))
+    np.testing.assert_array_equal(np.asarray(got_carry.re), np.asarray(want_carry.re))
+    np.testing.assert_array_equal(np.asarray(got_carry.im), np.asarray(want_carry.im))
+
+
+def test_halo_runner_end_to_end():
+    """stream_mode="halo": contiguous-stream sharded run works end to end."""
+    from ofdm_tpu.config import NoiseType
+
+    cfg = _cfg(engine="planar", noise_type=NoiseType.NONE,
+               equalization_method=EqualizationMethod.ZF)
+    runner = ShardedLinkRunner(pl.prepare(cfg), mesh=make_mesh(), stream_mode="halo")
+    r = runner.run(jax.random.PRNGKey(0))
+    assert r["hotpath_used"] == "xla"  # halo mode never claims the fused kernel
+    assert r["bit_error_rate"] == 0.0  # noise off, CP+ZF: exact recovery
+    # Chunked halo run: the replicated global carry round-trips chunks.
+    cfg2 = _cfg(engine="planar", symbols_per_chunk=64 * 2)
+    r2 = ShardedLinkRunner(pl.prepare(cfg2), mesh=make_mesh(), stream_mode="halo").run(
+        jax.random.PRNGKey(1)
+    )
+    assert 0.0 <= r2["bit_error_rate"] < 0.05
 
 
 def test_run_sweep_grid():

@@ -161,12 +161,37 @@ def test_result_schema():
         "transmission_time_ms",
         "bitrate_mbps",
         "ofdm_symbols_per_s",
+        "constellation_plot",
+        "hotpath_used",
+        "matmul_passes_used",
     ]:
         assert key in r, key
     assert r["total_bits"] == 2 * 64 * 500
     assert len(r["received_symbols"]) == 64
     assert r["title"] == "CP-OFDM-ZF"
     assert 0 <= r["bit_error_rate"] <= 1
+    assert r["constellation_plot"] is None  # rendering is opt-in on TPU
+
+
+def test_render_constellation_plot():
+    """render_constellation=True returns the reference-style PIL image."""
+    from PIL import Image
+
+    r = pl.simulate(_cfg(), render_constellation=True)
+    assert isinstance(r["constellation_plot"], Image.Image)
+    assert r["constellation_plot"].size[0] > 100
+    # adaptive two-panel variant
+    r2 = pl.simulate(
+        _cfg(
+            num_bits=60_000,
+            power_allocation_type=PowerAllocationType.WATERFILLING,
+            adaptive_modulation_mode=AdaptiveModulationMode.CAPACITY_BASED,
+            channel_model="default_multipath",
+            equalization_method=EqualizationMethod.MMSE,
+        ),
+        render_constellation=True,
+    )
+    assert isinstance(r2["constellation_plot"], Image.Image)
 
 
 def test_chunked_equals_unchunked_statistically():

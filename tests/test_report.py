@@ -109,6 +109,22 @@ def test_viz_functions_render():
         plt.close(f)
 
 
+def test_channel_plots_tool(tmp_path):
+    """utils/channel_plots mirrors the reference's channel-plots.py (:1-29)."""
+    from ofdm_tpu.utils.channel_plots import main, plot_channel_response
+
+    out = tmp_path / "resp.png"
+    assert main(["Lin-Phoong_P2", "--out", str(out)]) == 0
+    assert out.stat().st_size > 1000
+    # default = the reference script's example taps
+    out2 = tmp_path / "resp2.png"
+    assert main(["--n", "256", "--out", str(out2)]) == 0
+    fig = plot_channel_response(np.array([1.0, 0.5j]), n=64)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
 def test_watcher_render_and_clear(tmp_path):
     csv = tmp_path / "ber.csv"
     out = tmp_path / "live.png"

@@ -1,0 +1,118 @@
+"""Hardware-only statistical tests for the Pallas PRNG/noise path.
+
+The Mosaic interpreter used by CPU CI emulates `prng_random_bits` as zeros,
+so the Box-Muller samplers are numerically exercised ONLY on real TPU
+hardware (VERDICT r1 item 8: previously pinned solely by bench.py's BER
+gate).  These tests run the noise generators on the axon TPU in a
+subprocess (tests/conftest.py forces the in-process backend to CPU) and
+moment-test the draws: mean, variance, cross-correlation, and 3-sigma tail
+mass over 2^24 samples.
+
+Opt-in: set OFDM_TPU_TPU_TESTS=1 (the relay backend is slow to compile and
+occasionally wedges; CPU CI must not block on it).
+
+    OFDM_TPU_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -v
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        os.environ.get("OFDM_TPU_TPU_TESTS") != "1",
+        reason="TPU hardware tests are opt-in (OFDM_TPU_TPU_TESTS=1)",
+    ),
+]
+
+_MOMENTS_SCRIPT = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = 1 << 24
+SHAPE = (N // 128, 128)
+
+def moments(z0, z1):
+    z0 = z0.astype(jnp.float32).reshape(-1)
+    z1 = z1.astype(jnp.float32).reshape(-1)
+    out = {{}}
+    for name, z in (("z0", z0), ("z1", z1)):
+        out[name] = dict(
+            mean=float(jnp.mean(z)),
+            var=float(jnp.var(z)),
+            tail3=float(jnp.mean((jnp.abs(z) > 3.0).astype(jnp.float32))),
+            amax=float(jnp.max(jnp.abs(z))),
+        )
+    out["corr"] = float(jnp.mean(z0 * z1))
+    return out
+
+from ofdm_tpu.ops import prng
+key = jax.random.PRNGKey(42)
+z0, z1 = jax.jit(lambda k: prng.normal_planes(k, SHAPE))(key)
+res = {{"normal_planes": moments(z0, z1)}}
+
+# The fused link kernel's AWGN variant: random-sign sqrt(1-cos^2) instead of
+# a second transcendental (ops/pallas_link.py AWGN block) — reproduced in a
+# minimal kernel so a regression there is caught without a full bench run.
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+_INV = float(1.0 / 16777216.0)
+
+def kern(seed_ref, z0_ref, z1_ref):
+    pltpu.prng_seed(seed_ref[0], seed_ref[1])
+    rbits = pltpu.bitcast(pltpu.prng_random_bits(z0_ref.shape), jnp.int32)
+    u1 = jnp.maximum(((rbits >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV, _INV)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(z0_ref.shape), jnp.int32)
+    u2 = ((b2 >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV
+    rad = jnp.sqrt(-2.0 * jnp.log(u1))
+    co = jnp.cos((2.0 * np.pi) * u2)
+    si = jnp.sqrt(jnp.maximum(1.0 - co * co, 0.0))
+    si = jnp.where((rbits & 1) == 0, si, -si)
+    z0_ref[:] = rad * co
+    z1_ref[:] = rad * si
+
+z0, z1 = pl.pallas_call(
+    kern,
+    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+    out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+    out_shape=(jax.ShapeDtypeStruct(SHAPE, jnp.float32),) * 2,
+)(jnp.asarray([123, 456], jnp.int32))
+res["random_sign_bm"] = moments(z0, z1)
+print(json.dumps(res))
+"""
+
+
+def _run_on_tpu(script: str) -> dict:
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_noise_path_moments_on_hardware():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = _run_on_tpu(_MOMENTS_SCRIPT.format(repo=repo))
+    # N = 2^24: sigma(mean)=2.4e-4, sigma(var)~3.5e-4, sigma(tail3)=1.3e-5.
+    for variant in ("normal_planes", "random_sign_bm"):
+        m = res[variant]
+        for plane in ("z0", "z1"):
+            assert abs(m[plane]["mean"]) < 1.5e-3, (variant, plane, m)
+            assert abs(m[plane]["var"] - 1.0) < 4e-3, (variant, plane, m)
+            assert 0.00255 <= m[plane]["tail3"] <= 0.00285, (variant, plane, m)
+            # 24-bit u1 caps the radius at sqrt(-2 ln 2^-24) = 5.77.
+            assert 4.0 < m[plane]["amax"] <= 5.78, (variant, plane, m)
+        assert abs(m["corr"]) < 2e-3, (variant, m)
