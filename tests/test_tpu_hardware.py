@@ -66,7 +66,10 @@ from jax.experimental.pallas import tpu as pltpu
 _INV = float(1.0 / 16777216.0)
 
 def kern(seed_ref, z0_ref, z1_ref):
-    pltpu.prng_seed(seed_ref[0], seed_ref[1])
+    # Per-block seed mix (same Weyl constant as ops/prng._mix) so every grid
+    # step draws an independent stream.
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527),
+                    seed_ref[1])
     rbits = pltpu.bitcast(pltpu.prng_random_bits(z0_ref.shape), jnp.int32)
     u1 = jnp.maximum(((rbits >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV, _INV)
     b2 = pltpu.bitcast(pltpu.prng_random_bits(z0_ref.shape), jnp.int32)
@@ -78,10 +81,12 @@ def kern(seed_ref, z0_ref, z1_ref):
     z0_ref[:] = rad * co
     z1_ref[:] = rad * si
 
+BLK = 2048  # rows per grid step: 2 x (BLK,128) f32 outputs = 2 MB VMEM
 z0, z1 = pl.pallas_call(
     kern,
+    grid=(SHAPE[0] // BLK,),
     in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-    out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+    out_specs=(pl.BlockSpec((BLK, 128), lambda i: (i, 0)),) * 2,
     out_shape=(jax.ShapeDtypeStruct(SHAPE, jnp.float32),) * 2,
 )(jnp.asarray([123, 456], jnp.int32))
 res["random_sign_bm"] = moments(z0, z1)
@@ -92,6 +97,10 @@ print(json.dumps(res))
 def _run_on_tpu(script: str) -> dict:
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     env.pop("XLA_FLAGS", None)
+    # conftest exports JAX_ENABLE_X64=1 for CPU parity tests; on the TPU
+    # backend x64 mode makes scalar ints i64, which Mosaic cannot lower
+    # ("failed to legalize func.return (i64)").
+    env["JAX_ENABLE_X64"] = "0"
     proc = subprocess.run(
         [sys.executable, "-c", script],
         capture_output=True,
