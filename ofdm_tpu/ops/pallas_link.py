@@ -262,11 +262,23 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
         mode = "aqam"
         order = 0
         is_gray = True  # make_constellation default (mapping.py:148)
-        # Static unroll width from the CONFIG bound, not this point's orders:
-        # keeps the spec (and executable) stable across an SNR sweep where
-        # the loaded orders vary.  Extra unroll steps on narrower words are
-        # exact no-ops (XOR bits above the width are zero).
-        bits = int(np.log2(cfg.max_constellation_order))
+        # Static unroll width from the ACTUAL loaded orders.  The reference's
+        # live gap-function path does NOT clamp to max_constellation_order
+        # (constellation/models.py:297-321: order = 2^round(log2(1+SNR/Г)),
+        # unbounded), so high-SNR points load orders above the config bound —
+        # sizing the width from cfg.max_constellation_order made
+        # _inv_gray_static and the BER popcount miss the high bits (exactly
+        # one gray-level of corruption per coordinate, BER=1/bits, measured
+        # on hardware at 36 dB flat/1024-QAM).  Rounding the width UP to the
+        # config bound when the loaded orders stay below it keeps the spec
+        # (and executable) stable across sweep points; extra unroll steps on
+        # narrower words are exact no-ops (XOR bits above the width are 0).
+        active = np.asarray(s.amap.orders)
+        max_order = int(active.max()) if active.size else 2
+        bits = max(
+            int(np.log2(cfg.max_constellation_order)),
+            max(1, int(np.log2(max(max_order, 2)))),
+        )
     else:
         is_qam = cfg.constellation_type.value == "QAM"
         mode = "qam" if is_qam else "psk"

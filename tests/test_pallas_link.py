@@ -277,3 +277,23 @@ def test_kernel_unsupported_configs_fall_back():
             apply_power_allocation=True, engine="planar", hotpath="pallas",
         ))), 1024, interpret=True
     ) is None
+
+
+def test_adaptive_spec_bits_cover_loaded_orders():
+    """Kernel word width must cover the ACTUAL loaded orders (r2 hardware bug).
+
+    The reference's live gap-function loader never clamps to
+    max_constellation_order (constellation/models.py:297-321), so high-SNR
+    points load orders above the config bound.  A spec sized from the config
+    bound made _inv_gray_static drop the shift-8 term on 10-bit words: every
+    1024-QAM coordinate decoded one gray level off (BER exactly 1/bits,
+    measured 0.1000 at 36 dB flat on hardware).
+    """
+    r = _adaptive_runner(snr=36.0, channel_model="flat_fading")
+    orders = np.asarray(r.setup.amap.orders)
+    assert int(orders.max()) >= 1024  # premise: loader exceeded the bound
+    spec = pallas_link._spec_for(r, 1024, True)
+    assert spec is not None
+    assert spec.bits >= int(np.log2(int(orders.max())))
+    # BER popcount must cover every XOR bit of the widest word.
+    assert (1 << spec.bits) >= int(orders.max())
