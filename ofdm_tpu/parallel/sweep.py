@@ -203,6 +203,51 @@ class ShardedLinkRunner(LinkRunner):
             self._jitted[key_] = jax.jit(fn)
         return self._jitted[key_]
 
+    def _build_shard_pallas_scan(self, fn, consts_tree, num_chunks: int):
+        """Whole-run shard_map: the chunk scan runs INSIDE the shard body.
+
+        Collectives per RUN, not per chunk: the per-chunk scalar psums of the
+        scan-around-shard_map formulation cost ~1 ms/chunk on the relay
+        backend (measured: 53M vs 79M OFDM syms/s at 2^17-symbol chunks);
+        here each shard scans its chunks locally and the stacked
+        (num_chunks,) counters psum once at the end.  Per-chunk stats stay
+        stacked so the host still accumulates totals in Python ints (int32
+        counters never aggregate across chunks on-device)."""
+
+        def f(key, carry, snr_db, sqrt_power, consts):
+            idx = jax.lax.axis_index(MC_AXIS)
+
+            def body(c, i):
+                # Same stream layout as the per-chunk formulation:
+                # shard key = fold_in(fold_in(run_key, chunk), shard).
+                k = jax.random.fold_in(jax.random.fold_in(key, i), idx)
+                stats, c2 = fn(k, c, snr_db, sqrt_power, consts)
+                return c2, stats
+
+            carry2, stats = jax.lax.scan(body, carry[0], jnp.arange(num_chunks))
+            stats["bit_errors"] = jax.lax.psum(stats["bit_errors"], MC_AXIS)
+            stats["symbol_errors"] = jax.lax.psum(stats["symbol_errors"], MC_AXIS)
+            stats["papr_peak"] = jax.lax.pmax(stats["papr_peak"], MC_AXIS)
+            stats["papr_sum"] = jax.lax.psum(stats["papr_sum"], MC_AXIS)
+            stats["papr_count"] = jax.lax.psum(stats["papr_count"], MC_AXIS)
+            return jax.tree.map(lambda a: a[None], carry2), stats
+
+        carry_spec = jax.tree.map(lambda _: P(MC_AXIS), self._init_carry_sharded())
+        out_stats_spec: Dict[str, Any] = {
+            "bit_errors": P(),
+            "symbol_errors": P(),
+            "papr_peak": P(),
+            "papr_sum": P(),
+            "papr_count": P(),
+        }
+        return shard_map(
+            f,
+            mesh=self.mesh,
+            in_specs=(P(), carry_spec, P(), P(), jax.tree.map(lambda _: P(), consts_tree)),
+            out_specs=(carry_spec, out_stats_spec),
+            check_vma=False,
+        )
+
     def _scan(self, num_chunks: int, num_syms: int):
         lifted = self._shard_lifted(num_syms)
         if lifted is not None:
@@ -210,18 +255,8 @@ class ShardedLinkRunner(LinkRunner):
             jkey = ("sscan", spec, self.mesh, num_chunks)
             j = _SHARED_SHARD_JIT.get(jkey)
             if j is None:
-                sm = self._build_shard_pallas(fn, consts)
-
-                def g(key, carry0, snr_db, sqrt_power, consts_):
-                    def body(carry, i):
-                        stats, carry = sm(
-                            jax.random.fold_in(key, i), carry, snr_db, sqrt_power, consts_
-                        )
-                        return carry, stats
-
-                    return jax.lax.scan(body, carry0, jnp.arange(num_chunks))
-
-                j = _SHARED_SHARD_JIT.setdefault(jkey, jax.jit(g))
+                sm = self._build_shard_pallas_scan(fn, consts, num_chunks)
+                j = _SHARED_SHARD_JIT.setdefault(jkey, jax.jit(sm))
             return lambda key, carry0, snr, sp: j(key, carry0, snr, sp, consts)
         key_ = ("sscan", num_chunks, num_syms)
         if key_ not in self._jitted:
