@@ -10,9 +10,12 @@ identical to one long stream and avoid halo exchange; the cross-chunk carry
 *within* each shard still makes every shard's stream exactly contiguous).
 The only collectives are:
 
-  * `pmean` of the measured post-channel power (so AWGN scaling matches the
-    reference's global measurement, noise/models.py:14-16), and
-  * `psum` of the bit/symbol error counters.
+  * `psum`/`pmax` of the error/PAPR counters — once per run on the fused
+    path (the chunk scan lives inside shard_map; see
+    `_build_shard_pallas_scan`), per chunk on fallbacks, and
+  * on the XLA body only, `pmean` of the measured post-channel power (so
+    AWGN scaling matches the reference's global measurement,
+    noise/models.py:14-16; the fused kernel measures per tile).
 
 Both ride ICI within a slice / DCN across hosts; there is no parameter
 traffic in this workload (SURVEY §2.12).

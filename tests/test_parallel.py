@@ -106,6 +106,36 @@ def test_sharded_selects_pallas_kernel():
     assert runner._pallas_chunk_multiple() == 4 * 1024
 
 
+def test_sharded_pallas_scan_inside_shard_map():
+    """Multi-chunk fused-kernel runs scan INSIDE shard_map (collectives per run).
+
+    Exercises `_build_shard_pallas_scan`: 2 chunks of 1 tile per device on a
+    4-device interpret-mode mesh.  Zeroed emulator PRNG + noise off means the
+    linear chain must decode exactly through the scanned sharded path, and
+    the per-chunk stacked counters must still sum correctly on the host.
+    """
+    from ofdm_tpu.config import NoiseType
+
+    cfg = _cfg(
+        num_symbols=64 * 4 * 2048,  # 2048 OFDM symbols/device = 2 chunks
+        symbols_per_chunk=64 * 4 * 1024,
+        constellation_order=64,
+        channel_model="Lin-Phoong_P2",
+        noise_type=NoiseType.NONE,
+        equalization_method=EqualizationMethod.ZF,
+        engine="planar",
+        hotpath="pallas",
+        matmul_passes=3,
+    )
+    runner = ShardedLinkRunner(pl.prepare(cfg), mesh=make_mesh(num_devices=4))
+    runner._interpret = True
+    r = runner.run(jax.random.PRNGKey(0))
+    assert r["hotpath_used"] == "pallas"
+    assert r["bit_errors"] == 0
+    assert r["symbol_errors"] == 0
+    assert r["total_bits"] == cfg.num_symbols * 6
+
+
 def test_sharded_rejects_indivisible_batch():
     cfg = _cfg(num_symbols=64 * 801)  # 801 OFDM symbols, not divisible by 8
     with pytest.raises(ValueError, match="not divisible"):
