@@ -55,7 +55,7 @@ def main() -> int:
     # latency is amortized (the kernel's marginal rate is ~2-6x the
     # small-run wall rate; measured slope 67-86M syms/s vs 12M reported at
     # 2^21 — see docs/PERFORMANCE.md "Where the time goes").
-    num_ofdm_symbols = 1 << 26  # 67M OFDM symbols = 25.8G bits per run
+    num_ofdm_symbols = 1 << 28  # 268M OFDM symbols = 103G bits per run
     cfg = SimulationConfig(
         num_symbols=64 * num_ofdm_symbols,
         num_subcarriers=64,
