@@ -179,9 +179,14 @@ class SimulationConfig:
     # (commented out in the reference main path, simulation/models.py:574-586,
     # enabled in experiment scripts / NORMALIZATION_FIX.md).
     normalize_before_demap: bool = False
-    # Hot-path layout: "auto"/"generic" = batch-major generic chunk (measured
-    # fastest on the target TPU: 8.56M vs 5.42M OFDM syms/s); "batchminor"
-    # selects the (time, batch)-layout fused chunk in ops/fused.py.
+    # Hot-path selection.  "auto": fused Pallas kernel where it fits the
+    # scoped-VMEM plan (narrow links, pallas_link._plan), else the XLA
+    # matmul/CT-DFT chunk — measured fastest per width on the target TPU.
+    # "pallas": force the kernel, including the tap-shift wide-link mode
+    # (slower than XLA CT-DFT at 1024 sc: 117.6 vs 157.7M QAM/s, but a
+    # single kernel).  "matmul": XLA matmul-form operators.  "batchminor":
+    # the (time, batch)-layout fused chunk in ops/fused.py (measured
+    # slower; kept opt-in).  Anything else: generic planar chunk.
     hotpath: str = "auto"
     # bf16 split passes per MXU matmul in the fused Pallas kernel.  3 =
     # bf16x3 split (~1e-5 relative error, matches f32); 1 = single bf16 pass

@@ -56,7 +56,67 @@ from ofdm_tpu.config import (
 from ofdm_tpu.ops import linops
 from ofdm_tpu.ops.cplx import CArray
 
-_TILE = 1024  # OFDM symbols per grid step
+_TILE = 1024  # OFDM symbols per grid step (narrow configs; see tile_for)
+
+# Mosaic stages every *used* matrix operand in scoped VMEM (measured at
+# T=1031/passes=1: 25.4M for the 12 staged hi matrices, tile-independent,
+# vs the backend's 16M scoped-stack limit — the compile OOMs), plus ~2
+# live (tile, T) f32 temporaries.  _plan picks the cheapest layout that
+# fits: banded-Toeplitz convolution on the MXU ("mm") for narrow links,
+# tap-shift convolution ("taps", no (T, T) matrices staged at all) for
+# wide ones, shrinking the grid tile as needed.
+_VMEM_SCOPED_LIMIT = 15_000_000
+_ACT_ROWS_MM = 2  # measured 2.1 live (tile, T) f32 rows beyond the stage set
+_ACT_ROWS_TAPS = 4  # the tap loop keeps shifted planes live as well
+_MAX_KERNEL_TAPS = 16
+
+
+def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
+          allow_taps: bool = False):
+    """(tile, conv_mode) whose scoped-VMEM stack estimate fits, or None.
+
+    "taps" is tried only when `allow_taps`: the tap-shift kernel works at
+    any width but its lane rolls relayout on this backend — measured
+    117.6M QAM syms/s vs 157.7M for the XLA CT-DFT hot path at 1024
+    subcarriers (and a 509s vs 19s compile), so hotpath="auto" prefers
+    the XLA path for links too wide for the "mm" kernel, while an explicit
+    hotpath="pallas" keeps the single-kernel form available (e.g. for
+    minimal HBM traffic under sharding)."""
+    u = 3 if passes == 1 else 6  # staged bf16 matrices per complex constant
+    dft = 2 * n * T + (n * n if is_sc else 0)
+    for conv, staged, act_rows in (
+        ("mm", 2 * T * T + dft, _ACT_ROWS_MM),
+        ("taps", dft, _ACT_ROWS_TAPS),
+    ):
+        if conv == "taps" and not (allow_taps and 0 < n_taps <= _MAX_KERNEL_TAPS):
+            continue
+        fixed = 2 * u * staged
+        for tile in (1024, 512, 256, 128):
+            if fixed + 4 * act_rows * tile * T <= _VMEM_SCOPED_LIMIT:
+                return tile, conv
+    return None
+
+
+def plan_for(runner, passes: Optional[int] = None):
+    """`_plan` for a runner's config; None when the kernel cannot fit."""
+    s = runner.setup
+    cfg = s.cfg
+    return _plan(
+        cfg.num_subcarriers + s.prefix_length,
+        cfg.num_subcarriers,
+        selected_passes(runner) if passes is None else passes,
+        cfg.modulation_type == ModulationType.SC_OFDM,
+        len(np.asarray(s.taps)),
+        allow_taps=cfg.hotpath == "pallas",
+    )
+
+
+def chunk_multiple(runner) -> int:
+    """Per-device chunk granularity keeping `runner` on the fused kernel."""
+    p = plan_for(runner)
+    return p[0] if p is not None else _TILE
+
+
 _INV_2_24 = float(1.0 / 16777216.0)
 
 
@@ -209,6 +269,8 @@ def supports(runner, interpret: bool = False) -> bool:
     cfg = s.cfg
     is_qam = cfg.constellation_type.value == "QAM"
     order = cfg.constellation_order
+    if plan_for(runner) is None:
+        return False  # no layout fits the scoped-VMEM stack (see _plan)
     if s.is_adaptive:
         if not _adaptive_supported(s):
             return False
@@ -236,6 +298,9 @@ class _Spec(NamedTuple):
     sweeps compile once)."""
 
     tiles: int
+    tile: int  # grid-step row count (_plan)
+    conv: str  # "mm" (banded-Toeplitz matmuls) | "taps" (tap-shift, wide links)
+    ctaps: int  # channel tap count (static loop bound; 0 in mm mode)
     n: int
     L: int
     is_sc: bool
@@ -256,8 +321,10 @@ class _Spec(NamedTuple):
 def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
     s = runner.setup
     cfg = s.cfg
-    if num_syms % _TILE != 0 or not supports(runner, interpret):
+    plan = plan_for(runner)
+    if plan is None or num_syms % plan[0] != 0 or not supports(runner, interpret):
         return None
+    tile, conv = plan
     if s.is_adaptive:
         mode = "aqam"
         order = 0
@@ -286,7 +353,10 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
         is_gray = s.const.coding == "gray"
         bits = s.const.bits_per_symbol
     return _Spec(
-        tiles=num_syms // _TILE,
+        tiles=num_syms // tile,
+        tile=tile,
+        conv=conv,
+        ctaps=len(np.asarray(s.taps)) if conv == "taps" else 0,
         n=cfg.num_subcarriers,
         L=s.prefix_length,
         is_sc=cfg.modulation_type == ModulationType.SC_OFDM,
@@ -308,14 +378,19 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
     n, L, T = spec.n, spec.L, spec.T
 
     ftx = linops.tx_matrix(n, cfg.prefix_type, L, cfg.modulation_type)
-    t0, t1 = linops.conv_matrices(s.taps, T)
     rxm = linops.rx_matrix(n, cfg.prefix_type, L)
-    consts = (
-        _complex_matrix_consts(*ftx)
-        + _complex_matrix_consts(t0.real, t0.imag)
-        + _complex_matrix_consts(t1.real, t1.imag)
-        + _complex_matrix_consts(*rxm)
-    )  # 24 arrays
+    if spec.conv == "taps":
+        # Wide links: the convolution runs as tap-shift FMAs (no (T, T)
+        # Toeplitz matrices staged in scoped VMEM); taps ride in SMEM.
+        consts = _complex_matrix_consts(*ftx) + _complex_matrix_consts(*rxm)
+    else:
+        t0, t1 = linops.conv_matrices(s.taps, T)
+        consts = (
+            _complex_matrix_consts(*ftx)
+            + _complex_matrix_consts(t0.real, t0.imag)
+            + _complex_matrix_consts(t1.real, t1.imag)
+            + _complex_matrix_consts(*rxm)
+        )  # 24 arrays
     if spec.is_sc:
         # SC-FDE RX back-end: equalized bins -> time symbols via one IDFT.
         from ofdm_tpu.ops.dft import dft_matrix
@@ -358,7 +433,12 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         consts.append(np.asarray(inv_scale, np.float32).reshape(1, n))
 
     channel_gain = np.asarray([np.mean(np.abs(h) ** 2)], np.float32)  # SMEM scalar
-    return (jnp.asarray(channel_gain),) + tuple(jnp.asarray(c) for c in consts)
+    head = [jnp.asarray(channel_gain)]
+    if spec.conv == "taps":
+        taps = np.asarray(s.taps, np.complex128)
+        head.append(jnp.asarray(np.asarray(taps.real, np.float32)))
+        head.append(jnp.asarray(np.asarray(taps.imag, np.float32)))
+    return tuple(head) + tuple(jnp.asarray(c) for c in consts)
 
 
 def _gray_static(i):
@@ -393,9 +473,12 @@ def _fn_for_spec(spec: _Spec):
     bits = spec.bits
     passes = spec.passes
     tiles = spec.tiles
+    TILE = spec.tile
     add_noise = spec.add_noise
     method = spec.method
     is_sc = spec.is_sc
+    conv_taps = spec.conv == "taps"
+    ctaps = spec.ctaps
     scale = None
     if is_qam:
         from ofdm_tpu.ops.mapping import make_constellation
@@ -406,17 +489,24 @@ def _fn_for_spec(spec: _Spec):
         seed_ref,  # SMEM (2,) i32: key words
         snr_ref,  # SMEM (1,) f32
         cg_ref,  # SMEM (1,) f32: mean |H|^2 (MMSE)
-        carry_re_ref,  # (1, T)
-        carry_im_ref,
-        *refs,
+        *args,
     ):
-        (
-            ftx_c0, ftx_c1, ftx_c2, ftx_c3, ftx_c4, ftx_c5,
-            t0_c0, t0_c1, t0_c2, t0_c3, t0_c4, t0_c5,
-            t1_c0, t1_c1, t1_c2, t1_c3, t1_c4, t1_c5,
-            rx_c0, rx_c1, rx_c2, rx_c3, rx_c4, rx_c5,
-            *rest,
-        ) = refs
+        if conv_taps:
+            (htr_ref, hti_ref, carry_re_ref, carry_im_ref, *refs) = args
+            (
+                ftx_c0, ftx_c1, ftx_c2, ftx_c3, ftx_c4, ftx_c5,
+                rx_c0, rx_c1, rx_c2, rx_c3, rx_c4, rx_c5,
+                *rest,
+            ) = refs
+        else:
+            (carry_re_ref, carry_im_ref, *refs) = args
+            (
+                ftx_c0, ftx_c1, ftx_c2, ftx_c3, ftx_c4, ftx_c5,
+                t0_c0, t0_c1, t0_c2, t0_c3, t0_c4, t0_c5,
+                t1_c0, t1_c1, t1_c2, t1_c3, t1_c4, t1_c5,
+                rx_c0, rx_c1, rx_c2, rx_c3, rx_c4, rx_c5,
+                *rest,
+            ) = refs
         if is_sc:
             idft_c = rest[:6]
             rest = rest[6:]
@@ -433,7 +523,7 @@ def _fn_for_spec(spec: _Spec):
         snr_lin = jnp.exp(snr_ref[0] * np.float32(np.log(10.0) / 10.0))
 
         # --- TX: random indices -> constellation points (arithmetic) -------
-        raw = pltpu.bitcast(pltpu.prng_random_bits((_TILE, n)), jnp.int32)
+        raw = pltpu.bitcast(pltpu.prng_random_bits((TILE, n)), jnp.int32)
         if is_aqam:
             # Per-subcarrier masked draw: uniform bits & (order_k - 1) is a
             # uniform index for subcarrier k (ops.adaptive.index_mask).
@@ -486,11 +576,10 @@ def _fn_for_spec(spec: _Spec):
             psum_ref[0, 0] = psum_ref[0, 0] + jnp.sum(pwr)
 
         # --- convolution: intra band + previous-symbol band -----------------
-        yr, yi = _cmatmul(xr, xi, (t0_c0[:], t0_c1[:], t0_c2[:], t0_c3[:], t0_c4[:], t0_c5[:]), passes)
         # previous rows: roll down one sublane; row 0 <- carry
         pxr = pltpu.roll(xr, 1, 0)
         pxi = pltpu.roll(xi, 1, 0)
-        first = jax.lax.broadcasted_iota(jnp.int32, (_TILE, T), 0) == 0
+        first = jax.lax.broadcasted_iota(jnp.int32, (TILE, T), 0) == 0
 
         @pl.when(i == 0)
         def _():
@@ -502,26 +591,47 @@ def _fn_for_spec(spec: _Spec):
             prev_re[:] = jnp.where(first, cout_re_ref[0, :][None, :], pxr)
             prev_im[:] = jnp.where(first, cout_im_ref[0, :][None, :], pxi)
 
-        y1r, y1i = _cmatmul(
-            prev_re[:], prev_im[:],
-            (t1_c0[:], t1_c1[:], t1_c2[:], t1_c3[:], t1_c4[:], t1_c5[:]),
-            passes,
-        )
-        yr = yr + y1r
-        yi = yi + y1i
+        if conv_taps:
+            # Tap-shift FMA form of the same banded Toeplitz product
+            # (linops.conv_matrices semantics): lane c of tap k reads
+            # x[c - k], or the previous row's tail prev[T - k + c] when
+            # c < k — exactly the t0/t1 split, in pure f32.
+            h0r, h0i = htr_ref[0], hti_ref[0]
+            yr = h0r * xr - h0i * xi
+            yi = h0r * xi + h0i * xr
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, T), 1)
+            for k in range(1, ctaps):
+                skr = jnp.where(
+                    lane < k, pltpu.roll(prev_re[:], k, 1), pltpu.roll(xr, k, 1)
+                )
+                ski = jnp.where(
+                    lane < k, pltpu.roll(prev_im[:], k, 1), pltpu.roll(xi, k, 1)
+                )
+                hkr, hki = htr_ref[k], hti_ref[k]
+                yr = yr + hkr * skr - hki * ski
+                yi = yi + hkr * ski + hki * skr
+        else:
+            yr, yi = _cmatmul(xr, xi, (t0_c0[:], t0_c1[:], t0_c2[:], t0_c3[:], t0_c4[:], t0_c5[:]), passes)
+            y1r, y1i = _cmatmul(
+                prev_re[:], prev_im[:],
+                (t1_c0[:], t1_c1[:], t1_c2[:], t1_c3[:], t1_c4[:], t1_c5[:]),
+                passes,
+            )
+            yr = yr + y1r
+            yi = yi + y1i
         # stash this tile's last row as the next tile's carry
-        cout_re_ref[0, :] = xr[_TILE - 1, :]
-        cout_im_ref[0, :] = xi[_TILE - 1, :]
+        cout_re_ref[0, :] = xr[TILE - 1, :]
+        cout_im_ref[0, :] = xi[TILE - 1, :]
 
         # --- AWGN -------------------------------------------------------------
         if add_noise:
             mp_ = jnp.mean(yr * yr + yi * yi)
             sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
-            rbits = pltpu.bitcast(pltpu.prng_random_bits((_TILE, T)), jnp.int32)
+            rbits = pltpu.bitcast(pltpu.prng_random_bits((TILE, T)), jnp.int32)
             u1 = jnp.maximum(
                 ((rbits >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24, _INV_2_24
             )
-            u2 = _uniform24((_TILE, T))
+            u2 = _uniform24((TILE, T))
             rad = jnp.sqrt(-2.0 * jnp.log(u1))
             # Box-Muller with one transcendental less: for uniform theta,
             # sign(sin) is independent of cos, so (cos, +-sqrt(1-cos^2))
@@ -609,10 +719,11 @@ def _fn_for_spec(spec: _Spec):
             se_ref[0, 0] = se_ref[0, 0] + serr
 
     # --- pallas_call wiring ---------------------------------------------------
-    n_vmem_consts = 24 + (6 if is_sc else 0) + 5 + (5 if is_aqam else 0)
+    n_vmem_consts = (12 if conv_taps else 24) + (6 if is_sc else 0) + 5 + (5 if is_aqam else 0)
+    n_smem = 5 if conv_taps else 3  # + tap re/im rows in taps mode
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3  # seeds, snr, channel gain
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem
         + [vmem_full] * 2  # carry planes (1, T)
         + [vmem_full] * n_vmem_consts
     )
@@ -641,23 +752,29 @@ def _fn_for_spec(spec: _Spec):
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((_TILE, T), jnp.float32),  # prev_re
-            pltpu.VMEM((_TILE, T), jnp.float32),  # prev_im
+            pltpu.VMEM((TILE, T), jnp.float32),  # prev_re
+            pltpu.VMEM((TILE, T), jnp.float32),  # prev_im
         ],
         # CPU test coverage via the Mosaic emulator (plain interpret=True
         # cannot lower prng_seed on cpu); tests/test_pallas_link.py.
         interpret=pltpu.InterpretParams() if spec.interpret else False,
     )
-    num_syms = tiles * _TILE
+    num_syms = tiles * TILE
 
     def fn(key, carry: CArray, snr_db, sqrt_power, consts):
         del sqrt_power  # not applied in supported configs
-        cg, *mats = consts
+        if conv_taps:
+            cg, tre, tim, *mats = consts
+            smem_extra = (tre, tim)
+        else:
+            cg, *mats = consts
+            smem_extra = ()
         data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)[:2].astype(jnp.int32)
         be, se, pmax, psum, cre, cim = call(
             data,
             jnp.asarray(snr_db, jnp.float32).reshape(1),
             cg,
+            *smem_extra,
             carry.re.reshape(1, T),
             carry.im.reshape(1, T),
             *mats,

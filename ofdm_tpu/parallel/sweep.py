@@ -283,7 +283,7 @@ class ShardedLinkRunner(LinkRunner):
     def _pallas_chunk_multiple(self) -> int:
         from ofdm_tpu.ops import pallas_link
 
-        return self.n_dev * pallas_link._TILE
+        return self.n_dev * pallas_link.chunk_multiple(self)
 
 
 # ---------------------------------------------------------------------------

@@ -537,7 +537,7 @@ class LinkRunner:
         """
         from ofdm_tpu.ops import pallas_link
 
-        return pallas_link._TILE
+        return pallas_link.chunk_multiple(self)
 
     def _init_carry(self):
         if self.planar:

@@ -266,6 +266,78 @@ def test_supports_predicate():
     )
 
 
+def test_plan_shrinks_for_wide_configs():
+    """Wide links drop the (T, T) conv matrices and shrink the grid tile.
+
+    Mosaic stages every used matrix operand in scoped VMEM (measured: 25.4M
+    for the 12 hi matrices at T=1031/passes=1 against the backend's 16M
+    scoped-stack limit — the compile OOM'd and the pod driver crashed).
+    _plan keeps narrow links on the MXU Toeplitz matmuls and switches wide
+    ones to the tap-shift convolution, which stages only the DFT matrices.
+    """
+    assert pallas_link._plan(67, 64, 1, False, 4) == (1024, "mm")
+    assert pallas_link._plan(67, 64, 3, False, 4) == (1024, "mm")
+    assert pallas_link._plan(523, 512, 1, False, 12) == (1024, "mm")
+    # Wide: XLA CT-DFT preferred under "auto" (taps kernel measured slower:
+    # 117.6 vs 157.7M QAM/s at 1024 sc); taps only on explicit request.
+    assert pallas_link._plan(1031, 1024, 1, False, 8) is None
+    tile, conv = pallas_link._plan(1031, 1024, 1, False, 8, allow_taps=True)
+    assert conv == "taps" and tile <= 256
+    assert pallas_link._plan(1031, 1024, 1, False, 999, allow_taps=True) is None
+    assert pallas_link._plan(30000, 29990, 1, False, 8, allow_taps=True) is None
+
+    # BASELINE configs[4] shape: 1024 subcarriers, severe_multipath (order
+    # 7), CP ratio 1.0 -> T = 1031: the spec carries the shrunken tile +
+    # taps mode and chunk rounding follows it.
+    wide = pl.LinkRunner(pl.prepare(SimulationConfig(
+        num_symbols=1024 * 512, num_subcarriers=1024, constellation_order=64,
+        channel_type=ChannelType.CUSTOM, channel_model="severe_multipath",
+        prefix_length_ratio=1.0, engine="planar", hotpath="pallas",
+    )))
+    assert pallas_link.supports(wide, interpret=True)
+    gran = wide._pallas_chunk_multiple()
+    spec = pallas_link._spec_for(wide, 2 * gran, True)
+    assert spec is not None and spec.conv == "taps" and spec.ctaps == 8
+    assert spec.tile == gran and spec.tiles == 2
+
+
+def test_tap_shift_conv_equals_toeplitz_matmuls():
+    """The kernel's tap-shift indexing == linops.conv_matrices, exactly."""
+    from ofdm_tpu.ops import linops
+
+    rng = np.random.default_rng(7)
+    T, K, B = 37, 5, 8
+    taps = rng.normal(size=K) + 1j * rng.normal(size=K)
+    x = rng.normal(size=(B, T)) + 1j * rng.normal(size=(B, T))
+    prev = rng.normal(size=(B, T)) + 1j * rng.normal(size=(B, T))
+    t0, t1 = linops.conv_matrices(taps, T)
+    want = x @ t0 + prev @ t1
+    got = taps[0] * x
+    for k in range(1, K):
+        shifted = np.concatenate([prev[:, T - k:], x[:, : T - k]], axis=1)
+        got = got + taps[k] * shifted
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_kernel_taps_conv_linear_chain(monkeypatch):
+    """Forced taps mode decodes the deterministic linear chain exactly."""
+    monkeypatch.setattr(
+        pallas_link, "plan_for", lambda runner, passes=None: (1024, "taps")
+    )
+    runner = _runner(
+        channel_model="Lin-Phoong_P2",
+        constellation_order=64,
+        equalization_method=EqualizationMethod.ZF,
+        noise_type=NoiseType.NONE,
+        matmul_passes=3,
+    )
+    runner._interpret = True
+    r = runner.run(jax.random.PRNGKey(0))
+    assert r["hotpath_used"] == "pallas"
+    assert r["bit_errors"] == 0
+    assert r["symbol_errors"] == 0
+
+
 def test_kernel_unsupported_configs_fall_back():
     odd = _runner()
     assert pallas_link.make_pallas_chunk(odd, 1000, interpret=True) is None
