@@ -1,0 +1,84 @@
+"""Real multi-process jax.distributed test (SURVEY §2.12 comm backend).
+
+Spawns TWO separate Python processes that form a jax.distributed cluster
+over a loopback coordinator (the single-host stand-in for a TPU pod's DCN),
+each contributing 2 virtual CPU devices to a 4-device global mesh, and runs
+the sharded Monte-Carlo link on it.  Asserts both processes compute the
+SAME global error counts — i.e. the psum really crossed the process
+boundary.  This executes the exact code path a pod launcher uses
+(`ofdm_tpu.parallel.mesh.distributed_init` via OFDM_TPU_* env vars).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["OFDM_TPU_REPO"])
+import jax
+from ofdm_tpu.config import SimulationConfig, ChannelType, EqualizationMethod
+from ofdm_tpu.parallel.mesh import distributed_init, make_mesh
+from ofdm_tpu.parallel.sweep import ShardedLinkRunner
+from ofdm_tpu.pipeline import prepare
+
+distributed_init()  # reads OFDM_TPU_COORDINATOR / NUM_PROCS / PROC_ID
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+
+cfg = SimulationConfig(
+    num_symbols=64 * 64, num_subcarriers=64, constellation_order=16,
+    channel_type=ChannelType.CUSTOM, channel_model="default_multipath",
+    equalization_method=EqualizationMethod.MMSE, snr_db=18.0,
+)
+runner = ShardedLinkRunner(prepare(cfg), mesh=make_mesh())
+r = runner.run(jax.random.PRNGKey(0))
+print(f"RESULT {r['bit_errors']} {r['total_bits']}", flush=True)
+os._exit(0)  # skip teardown: the coordination-service shutdown can race
+"""
+
+
+def test_two_process_distributed_psum(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    with socket.socket() as s:  # free loopback port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # Strip the TPU-relay plugin env: these workers must be pure-CPU
+        # processes (two of them would fight over the one relayed chip).
+        if k not in ("PALLAS_AXON_POOL_IPS", "PYTHONPATH", "JAX_PLATFORMS",
+                     "XLA_FLAGS", "JAX_ENABLE_X64")
+    }
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        OFDM_TPU_REPO=str(REPO),
+        OFDM_TPU_COORDINATOR=f"127.0.0.1:{port}",
+        OFDM_TPU_NUM_PROCS="2",
+    )
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)],
+            env={**env, "OFDM_TPU_PROC_ID": str(pid)},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    results = []
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        results.append(lines[0])
+    # Global (psum'd) counters must agree across processes bit-for-bit.
+    assert results[0] == results[1]
+    total_bits = int(results[0].split()[2])
+    assert total_bits == 64 * 64 * 4
