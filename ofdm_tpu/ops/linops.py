@@ -81,6 +81,28 @@ def conv_matrices(taps: np.ndarray, T: int) -> Tuple[np.ndarray, np.ndarray]:
     return T0, T1
 
 
+def ext_width(num_taps: int, T: int) -> int:
+    """Lanes of previous-symbol tail that reach into the current block.
+
+    The stream convolution's ISI spans ``num_taps - 1`` samples (clamped to
+    one block: T1 has at most T nonzero rows)."""
+    return max(0, min(num_taps - 1, T))
+
+
+def conv_matrix_merged(taps: np.ndarray, T: int) -> np.ndarray:
+    """Single (T+E, T) complex matrix C with y[b] = [x[b] | tail(x[b-1])] @ C.
+
+    Rows 0..T-1 are T0 (intra band); rows T..T+E-1 are the E = num_taps-1
+    nonzero rows of T1 (the previous block's last E samples are the only
+    ones that spill into block b).  Merging halves the fused kernel's conv
+    VMEM staging and — while T+E <= 128 — runs the stream convolution in
+    ONE MXU pass set instead of two (same banded-Toeplitz semantics as
+    `conv_matrices`, reference channel/models.py:46-62)."""
+    E = ext_width(len(taps), T)
+    T0, T1 = conv_matrices(taps, T)
+    return np.concatenate([T0, T1[T - E :, :]], axis=0) if E else T0
+
+
 @lru_cache(maxsize=None)
 def rx_matrix(
     n: int, prefix: PrefixType, L: int

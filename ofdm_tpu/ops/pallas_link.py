@@ -2,9 +2,11 @@
 
 One `pallas_call` executes an entire Monte-Carlo chunk for the OFDM link:
 per grid step it draws a tile of random constellation indices (hardware
-PRNG), maps them arithmetically, runs the four matmul-form link operators
-(ops/linops.py matrices: IDFT+guard, the two Toeplitz convolution bands,
-guard-strip+DFT) on the MXU (bf16x3-split or single-pass bf16 — see
+PRNG), maps them arithmetically, runs the three matmul-form link operators
+(ops/linops.py matrices: IDFT+guard with duplicated tail lanes, the merged
+(T+E, T) Toeplitz convolution — intra band plus the E = taps-1 previous-
+tail rows in ONE matmul — and guard-strip+DFT) on the MXU (bf16x3-split or
+single-pass bf16 — see
 SimulationConfig.matmul_passes), adds Box-Muller AWGN, equalizes, demaps,
 and accumulates BER/SER/PAPR partials — all without leaving VMEM
 (SURVEY §7.2 step 8, the "speed-of-light pass").
@@ -83,16 +85,18 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
     hotpath="pallas" keeps the single-kernel form available (e.g. for
     minimal HBM traffic under sharding)."""
     u = 3 if passes == 1 else 6  # staged bf16 matrices per complex constant
-    dft = 2 * n * T + (n * n if is_sc else 0)
-    for conv, staged, act_rows in (
-        ("mm", 2 * T * T + dft, _ACT_ROWS_MM),
-        ("taps", dft, _ACT_ROWS_TAPS),
+    E = max(0, min(n_taps - 1, T))  # merged-conv tail lanes (linops.ext_width)
+    dft_taps = 2 * n * T + (n * n if is_sc else 0)
+    dft_mm = n * (T + E) + n * T + (n * n if is_sc else 0)
+    for conv, staged, act_rows, TE in (
+        ("mm", (T + E) * T + dft_mm, _ACT_ROWS_MM, T + E),
+        ("taps", dft_taps, _ACT_ROWS_TAPS, T),
     ):
         if conv == "taps" and not (allow_taps and 0 < n_taps <= _MAX_KERNEL_TAPS):
             continue
         fixed = 2 * u * staged
         for tile in (1024, 512, 256, 128):
-            if fixed + 4 * act_rows * tile * T <= _VMEM_SCOPED_LIMIT:
+            if fixed + 4 * act_rows * tile * TE <= _VMEM_SCOPED_LIMIT:
                 return tile, conv
     return None
 
@@ -299,8 +303,9 @@ class _Spec(NamedTuple):
 
     tiles: int
     tile: int  # grid-step row count (_plan)
-    conv: str  # "mm" (banded-Toeplitz matmuls) | "taps" (tap-shift, wide links)
+    conv: str  # "mm" (merged-Toeplitz matmul) | "taps" (tap-shift, wide links)
     ctaps: int  # channel tap count (static loop bound; 0 in mm mode)
+    ext: int  # mm mode: prev-tail lanes appended to the conv activation
     n: int
     L: int
     is_sc: bool
@@ -357,6 +362,11 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
         tile=tile,
         conv=conv,
         ctaps=len(np.asarray(s.taps)) if conv == "taps" else 0,
+        ext=(
+            linops.ext_width(len(np.asarray(s.taps)), cfg.num_subcarriers + s.prefix_length)
+            if conv == "mm"
+            else 0
+        ),
         n=cfg.num_subcarriers,
         L=s.prefix_length,
         is_sc=cfg.modulation_type == ModulationType.SC_OFDM,
@@ -384,13 +394,20 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         # Toeplitz matrices staged in scoped VMEM); taps ride in SMEM.
         consts = _complex_matrix_consts(*ftx) + _complex_matrix_consts(*rxm)
     else:
-        t0, t1 = linops.conv_matrices(s.taps, T)
+        # Merged conv: ONE (T+E, T) matrix; the TX matrix gains E duplicated
+        # tail columns so the kernel can build the [x | tail(prev)] activation
+        # with a sublane roll + lane select (no lane slicing).
+        E = spec.ext
+        cm = linops.conv_matrix_merged(s.taps, T)
+        fr, fi = ftx
+        if E:
+            fr = np.concatenate([fr, fr[:, T - E :]], axis=1)
+            fi = np.concatenate([fi, fi[:, T - E :]], axis=1)
         consts = (
-            _complex_matrix_consts(*ftx)
-            + _complex_matrix_consts(t0.real, t0.imag)
-            + _complex_matrix_consts(t1.real, t1.imag)
+            _complex_matrix_consts(fr, fi)
+            + _complex_matrix_consts(cm.real, cm.imag)
             + _complex_matrix_consts(*rxm)
-        )  # 24 arrays
+        )  # 18 arrays
     if spec.is_sc:
         # SC-FDE RX back-end: equalized bins -> time symbols via one IDFT.
         from ofdm_tpu.ops.dft import dft_matrix
@@ -479,6 +496,10 @@ def _fn_for_spec(spec: _Spec):
     is_sc = spec.is_sc
     conv_taps = spec.conv == "taps"
     ctaps = spec.ctaps
+    ext = spec.ext  # mm mode: prev-tail lanes in the conv activation
+    TE = T + ext  # width of the TX output / prev planes / carry rows
+    # taps mode reads full previous rows; mm mode only the ext tail lanes.
+    need_prev = (conv_taps and ctaps > 1) or ext > 0
     scale = None
     if is_qam:
         from ofdm_tpu.ops.mapping import make_constellation
@@ -502,8 +523,7 @@ def _fn_for_spec(spec: _Spec):
             (carry_re_ref, carry_im_ref, *refs) = args
             (
                 ftx_c0, ftx_c1, ftx_c2, ftx_c3, ftx_c4, ftx_c5,
-                t0_c0, t0_c1, t0_c2, t0_c3, t0_c4, t0_c5,
-                t1_c0, t1_c1, t1_c2, t1_c3, t1_c4, t1_c5,
+                cv_c0, cv_c1, cv_c2, cv_c3, cv_c4, cv_c5,
                 rx_c0, rx_c1, rx_c2, rx_c3, rx_c4, rx_c5,
                 *rest,
             ) = refs
@@ -562,10 +582,16 @@ def _fn_for_spec(spec: _Spec):
             si = jnp.sin(ang)
 
         # --- modulate (IDFT + guard) ------------------------------------------
+        # mm mode: the TX matrix carries `ext` duplicated tail columns, so
+        # the (TILE, TE) output already holds the lanes the ISI matmul needs.
         xr, xi = _cmatmul(sr, si, (ftx_c0[:], ftx_c1[:], ftx_c2[:], ftx_c3[:], ftx_c4[:], ftx_c5[:]), passes)
 
-        # PAPR partials
+        # PAPR partials (duplicated ext lanes masked; power >= 0 so a 0 fill
+        # is exact for both the max and the sum).
         pwr = xr * xr + xi * xi
+        if ext:
+            lane_t = jax.lax.broadcasted_iota(jnp.int32, (TILE, TE), 1) < T
+            pwr = jnp.where(lane_t, pwr, 0.0)
         @pl.when(i == 0)
         def _():
             pmax_ref[0, 0] = jnp.max(pwr)
@@ -575,21 +601,22 @@ def _fn_for_spec(spec: _Spec):
             pmax_ref[0, 0] = jnp.maximum(pmax_ref[0, 0], jnp.max(pwr))
             psum_ref[0, 0] = psum_ref[0, 0] + jnp.sum(pwr)
 
-        # --- convolution: intra band + previous-symbol band -----------------
+        # --- convolution: merged intra + previous-symbol band ----------------
         # previous rows: roll down one sublane; row 0 <- carry
-        pxr = pltpu.roll(xr, 1, 0)
-        pxi = pltpu.roll(xi, 1, 0)
-        first = jax.lax.broadcasted_iota(jnp.int32, (TILE, T), 0) == 0
+        if need_prev:
+            pxr = pltpu.roll(xr, 1, 0)
+            pxi = pltpu.roll(xi, 1, 0)
+            first = jax.lax.broadcasted_iota(jnp.int32, (TILE, TE), 0) == 0
 
-        @pl.when(i == 0)
-        def _():
-            prev_re[:] = jnp.where(first, carry_re_ref[0, :][None, :], pxr)
-            prev_im[:] = jnp.where(first, carry_im_ref[0, :][None, :], pxi)
+            @pl.when(i == 0)
+            def _():
+                prev_re[:] = jnp.where(first, carry_re_ref[0, :][None, :], pxr)
+                prev_im[:] = jnp.where(first, carry_im_ref[0, :][None, :], pxi)
 
-        @pl.when(i != 0)
-        def _():
-            prev_re[:] = jnp.where(first, cout_re_ref[0, :][None, :], pxr)
-            prev_im[:] = jnp.where(first, cout_im_ref[0, :][None, :], pxi)
+            @pl.when(i != 0)
+            def _():
+                prev_re[:] = jnp.where(first, cout_re_ref[0, :][None, :], pxr)
+                prev_im[:] = jnp.where(first, cout_im_ref[0, :][None, :], pxi)
 
         if conv_taps:
             # Tap-shift FMA form of the same banded Toeplitz product
@@ -611,14 +638,15 @@ def _fn_for_spec(spec: _Spec):
                 yr = yr + hkr * skr - hki * ski
                 yi = yi + hkr * ski + hki * skr
         else:
-            yr, yi = _cmatmul(xr, xi, (t0_c0[:], t0_c1[:], t0_c2[:], t0_c3[:], t0_c4[:], t0_c5[:]), passes)
-            y1r, y1i = _cmatmul(
-                prev_re[:], prev_im[:],
-                (t1_c0[:], t1_c1[:], t1_c2[:], t1_c3[:], t1_c4[:], t1_c5[:]),
-                passes,
-            )
-            yr = yr + y1r
-            yi = yi + y1i
+            # One (TILE, TE) @ (TE, T) complex matmul: lanes < T are this
+            # block, lanes >= T the previous block's tail (the E nonzero
+            # rows of the T1 band) — linops.conv_matrix_merged.
+            if ext:
+                actr = jnp.where(lane_t, xr, prev_re[:])
+                acti = jnp.where(lane_t, xi, prev_im[:])
+            else:
+                actr, acti = xr, xi
+            yr, yi = _cmatmul(actr, acti, (cv_c0[:], cv_c1[:], cv_c2[:], cv_c3[:], cv_c4[:], cv_c5[:]), passes)
         # stash this tile's last row as the next tile's carry
         cout_re_ref[0, :] = xr[TILE - 1, :]
         cout_im_ref[0, :] = xi[TILE - 1, :]
@@ -719,12 +747,12 @@ def _fn_for_spec(spec: _Spec):
             se_ref[0, 0] = se_ref[0, 0] + serr
 
     # --- pallas_call wiring ---------------------------------------------------
-    n_vmem_consts = (12 if conv_taps else 24) + (6 if is_sc else 0) + 5 + (5 if is_aqam else 0)
+    n_vmem_consts = (12 if conv_taps else 18) + (6 if is_sc else 0) + 5 + (5 if is_aqam else 0)
     n_smem = 5 if conv_taps else 3  # + tap re/im rows in taps mode
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem
-        + [vmem_full] * 2  # carry planes (1, T)
+        + [vmem_full] * 2  # carry planes (1, TE)
         + [vmem_full] * n_vmem_consts
     )
     out_shape = (
@@ -732,8 +760,8 @@ def _fn_for_spec(spec: _Spec):
         jax.ShapeDtypeStruct((1, 1), jnp.int32),  # symbol errors
         jax.ShapeDtypeStruct((1, 1), jnp.float32),  # papr max
         jax.ShapeDtypeStruct((1, 1), jnp.float32),  # papr sum
-        jax.ShapeDtypeStruct((1, T), jnp.float32),  # carry out re
-        jax.ShapeDtypeStruct((1, T), jnp.float32),  # carry out im
+        jax.ShapeDtypeStruct((1, TE), jnp.float32),  # carry out re
+        jax.ShapeDtypeStruct((1, TE), jnp.float32),  # carry out im
     )
     # Scalar accumulators live in SMEM (VMEM refs reject scalar stores).
     out_specs = tuple(
@@ -742,7 +770,7 @@ def _fn_for_spec(spec: _Spec):
             lambda i: (0, 0),
             memory_space=pltpu.SMEM if shape == (1, 1) else pltpu.VMEM,
         )
-        for shape in [(1, 1), (1, 1), (1, 1), (1, 1), (1, T), (1, T)]
+        for shape in [(1, 1), (1, 1), (1, 1), (1, 1), (1, TE), (1, TE)]
     )
 
     call = pl.pallas_call(
@@ -752,8 +780,8 @@ def _fn_for_spec(spec: _Spec):
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((TILE, T), jnp.float32),  # prev_re
-            pltpu.VMEM((TILE, T), jnp.float32),  # prev_im
+            pltpu.VMEM((TILE, TE), jnp.float32),  # prev_re
+            pltpu.VMEM((TILE, TE), jnp.float32),  # prev_im
         ],
         # CPU test coverage via the Mosaic emulator (plain interpret=True
         # cannot lower prng_seed on cpu); tests/test_pallas_link.py.
@@ -770,13 +798,21 @@ def _fn_for_spec(spec: _Spec):
             cg, *mats = consts
             smem_extra = ()
         data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)[:2].astype(jnp.int32)
+        if ext:
+            # External carry contract stays (T,); the kernel's carry rows
+            # carry the ext (duplicated-tail) layout the TX plane uses.
+            cre_in = jnp.concatenate([carry.re, carry.re[T - ext :]]).reshape(1, TE)
+            cim_in = jnp.concatenate([carry.im, carry.im[T - ext :]]).reshape(1, TE)
+        else:
+            cre_in = carry.re.reshape(1, T)
+            cim_in = carry.im.reshape(1, T)
         be, se, pmax, psum, cre, cim = call(
             data,
             jnp.asarray(snr_db, jnp.float32).reshape(1),
             cg,
             *smem_extra,
-            carry.re.reshape(1, T),
-            carry.im.reshape(1, T),
+            cre_in,
+            cim_in,
             *mats,
         )
         stats = {
@@ -786,7 +822,7 @@ def _fn_for_spec(spec: _Spec):
             "papr_sum": psum[0, 0],
             "papr_count": jnp.asarray(num_syms * T, jnp.float32),
         }
-        return stats, CArray(cre[0], cim[0])
+        return stats, CArray(cre[0, :T], cim[0, :T])
 
     return fn
 

@@ -160,3 +160,21 @@ def test_matmul_adaptive_mode():
     )
     r = pl.simulate(cfg, jax.random.PRNGKey(0))
     assert 0.0 <= r["bit_error_rate"] < 0.01
+
+
+@pytest.mark.parametrize("K", [1, 2, 4, 8])
+def test_merged_conv_matrix_matches_stream(K):
+    """[x[b] | tail(x[b-1])] @ C equals the truncated stream convolution
+    (channel/models.py:46-62 semantics), for any tap count."""
+    rng = np.random.RandomState(100 + K)
+    T, B = 20, 9
+    taps = _rand(rng, K)
+    x = _rand(rng, B, T)
+    E = linops.ext_width(K, T)
+    C = linops.conv_matrix_merged(taps, T)
+    assert C.shape == (T + E, T)
+    prev = np.vstack([np.zeros((1, T), np.complex128), x[:-1]])
+    act = np.concatenate([x, prev[:, T - E:]], axis=1) if E else x
+    out = act @ C
+    expected = np.convolve(x.reshape(-1), taps, mode="full")[: x.size].reshape(B, T)
+    np.testing.assert_allclose(out, expected, atol=1e-10)
