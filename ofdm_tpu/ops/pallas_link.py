@@ -732,9 +732,12 @@ def _fn_for_spec(spec: _Spec):
             rx_idx = _gray_static(sector) if is_gray else sector
 
         x = tx_idx ^ rx_idx
-        berr = jnp.zeros((), jnp.int32)
-        for b in range(bits):
-            berr = berr + jnp.sum((x >> b) & 1, dtype=jnp.int32)
+        # Accumulate the per-symbol popcount plane first, then reduce ONCE
+        # (one full-plane reduction instead of `bits` of them).
+        pc = x & 1
+        for b in range(1, bits):
+            pc = pc + ((x >> b) & 1)
+        berr = jnp.sum(pc, dtype=jnp.int32)
         serr = jnp.sum((tx_idx != rx_idx).astype(jnp.int32))
 
         @pl.when(i == 0)
