@@ -60,15 +60,16 @@ from ofdm_tpu.ops.cplx import CArray
 
 _TILE = 1024  # OFDM symbols per grid step (narrow configs; see tile_for)
 
-# Mosaic stages every *used* matrix operand in scoped VMEM (measured at
-# T=1031/passes=1: 25.4M for the 12 staged hi matrices, tile-independent,
-# vs the backend's 16M scoped-stack limit — the compile OOMs), plus ~2
-# live (tile, T) f32 temporaries.  _plan picks the cheapest layout that
-# fits: banded-Toeplitz convolution on the MXU ("mm") for narrow links,
-# tap-shift convolution ("taps", no (T, T) matrices staged at all) for
-# wide ones, shrinking the grid tile as needed.
+# The Mosaic scoped-VMEM stack (16M hard limit on this backend) holds the
+# staged matrix operands PLUS every live (tile, TE) f32 temporary.  Measured
+# calibration points: a 512-sc passes=1 merged-conv kernel at tile=1024
+# OOM'd at 31.77M scoped (staged hi mats 4.8M -> ~13 live activation
+# planes); narrow 64-sc kernels fit at tile=1024 (~4M act).  _plan sizes
+# the stage set + grid tile against the budget: banded-Toeplitz merged
+# matmul ("mm") where it fits, tap-shift convolution ("taps", no (TE, T)
+# matrix staged) for forced-kernel wide links.
 _VMEM_SCOPED_LIMIT = 15_000_000
-_ACT_ROWS_MM = 2  # measured 2.1 live (tile, T) f32 rows beyond the stage set
+_ACT_ROWS_MM = 14  # measured ~13 live (tile, TE) f32 planes w/ AWGN + margin
 _ACT_ROWS_TAPS = 4  # the tap loop keeps shifted planes live as well
 _MAX_KERNEL_TAPS = 16
 
@@ -132,12 +133,19 @@ def _split_const(w: np.ndarray):
     return np.asarray(hi), np.asarray(lo)
 
 
-def _complex_matrix_consts(re: np.ndarray, im: np.ndarray):
-    """bf16 splits of (re, im, re+im) for a Karatsuba complex matmul."""
+def _complex_matrix_consts(re: np.ndarray, im: np.ndarray, passes: int = 3):
+    """bf16 splits of (re, im, re+im) for a Karatsuba complex matmul.
+
+    passes=1 returns the hi halves only ([r_hi, i_hi, s_hi]): the lo
+    matrices would be staged in scoped VMEM even though the single-pass
+    kernel never reads them (measured: the Mosaic stack stages every
+    *operand*, not every use — a 512-sc passes=1 kernel OOM'd at 31.8M
+    with all six staged), so they must not be passed at all."""
     out = []
     for m in (re, im, re + im):
-        out.extend(_split_const(m))
-    return out  # [r_hi, r_lo, i_hi, i_lo, s_hi, s_lo]
+        hi, lo = _split_const(m)
+        out.extend([hi] if passes == 1 else [hi, lo])
+    return out  # [r_hi, i_hi, s_hi] | [r_hi, r_lo, i_hi, i_lo, s_hi, s_lo]
 
 
 def _mm3(xh, xl, w_hi, w_lo):
@@ -153,19 +161,21 @@ def _split_act(x):
 
 
 def _cmatmul(xr, xi, consts, passes: int = 3):
-    """Karatsuba complex matmul; consts from _complex_matrix_consts (6 refs).
+    """Karatsuba complex matmul; consts from _complex_matrix_consts
+    (3 refs at passes=1, 6 at passes=3).
 
     passes=3: bf16x3 split per real matmul (~1e-5 rel err, f32-grade).
     passes=1: single bf16 pass (~6e-3 rel err) — 3 MXU passes per complex
     matmul instead of 9; selected via SimulationConfig.matmul_passes.
     """
-    r_hi, r_lo, i_hi, i_lo, s_hi, s_lo = consts
     if passes == 1:
+        r_hi, i_hi, s_hi = consts
         d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)  # noqa: E731
         p1 = d(xr.astype(jnp.bfloat16), r_hi)
         p2 = d(xi.astype(jnp.bfloat16), i_hi)
         p3 = d((xr + xi).astype(jnp.bfloat16), s_hi)
         return p1 - p2, p3 - p1 - p2
+    r_hi, r_lo, i_hi, i_lo, s_hi, s_lo = consts
     xrh, xrl = _split_act(xr)
     xih, xil = _split_act(xi)
     xsh, xsl = _split_act(xr + xi)
@@ -392,7 +402,9 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
     if spec.conv == "taps":
         # Wide links: the convolution runs as tap-shift FMAs (no (T, T)
         # Toeplitz matrices staged in scoped VMEM); taps ride in SMEM.
-        consts = _complex_matrix_consts(*ftx) + _complex_matrix_consts(*rxm)
+        consts = _complex_matrix_consts(*ftx, spec.passes) + _complex_matrix_consts(
+            *rxm, spec.passes
+        )
     else:
         # Merged conv: ONE (T+E, T) matrix; the TX matrix gains E duplicated
         # tail columns so the kernel can build the [x | tail(prev)] activation
@@ -404,16 +416,16 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
             fr = np.concatenate([fr, fr[:, T - E :]], axis=1)
             fi = np.concatenate([fi, fi[:, T - E :]], axis=1)
         consts = (
-            _complex_matrix_consts(fr, fi)
-            + _complex_matrix_consts(cm.real, cm.imag)
-            + _complex_matrix_consts(*rxm)
-        )  # 18 arrays
+            _complex_matrix_consts(fr, fi, spec.passes)
+            + _complex_matrix_consts(cm.real, cm.imag, spec.passes)
+            + _complex_matrix_consts(*rxm, spec.passes)
+        )  # 3 complex matrices x (3 | 6) bf16 splits
     if spec.is_sc:
         # SC-FDE RX back-end: equalized bins -> time symbols via one IDFT.
         from ofdm_tpu.ops.dft import dft_matrix
 
         fi_r, fi_i = dft_matrix(n, inverse=True)
-        consts = consts + _complex_matrix_consts(fi_r, fi_i)  # 30 arrays
+        consts = consts + _complex_matrix_consts(fi_r, fi_i, spec.passes)
 
     h = s.h_freq.astype(np.complex128)
     consts.append(np.asarray(h.real, np.float32).reshape(1, n))
@@ -512,24 +524,22 @@ def _fn_for_spec(spec: _Spec):
         cg_ref,  # SMEM (1,) f32: mean |H|^2 (MMSE)
         *args,
     ):
+        ncm = 3 if passes == 1 else 6  # bf16 splits per complex matrix
         if conv_taps:
             (htr_ref, hti_ref, carry_re_ref, carry_im_ref, *refs) = args
-            (
-                ftx_c0, ftx_c1, ftx_c2, ftx_c3, ftx_c4, ftx_c5,
-                rx_c0, rx_c1, rx_c2, rx_c3, rx_c4, rx_c5,
-                *rest,
-            ) = refs
+            ftx_c, rx_c = refs[:ncm], refs[ncm : 2 * ncm]
+            rest = refs[2 * ncm :]
         else:
             (carry_re_ref, carry_im_ref, *refs) = args
-            (
-                ftx_c0, ftx_c1, ftx_c2, ftx_c3, ftx_c4, ftx_c5,
-                cv_c0, cv_c1, cv_c2, cv_c3, cv_c4, cv_c5,
-                rx_c0, rx_c1, rx_c2, rx_c3, rx_c4, rx_c5,
-                *rest,
-            ) = refs
+            ftx_c, cv_c, rx_c = (
+                refs[:ncm],
+                refs[ncm : 2 * ncm],
+                refs[2 * ncm : 3 * ncm],
+            )
+            rest = refs[3 * ncm :]
         if is_sc:
-            idft_c = rest[:6]
-            rest = rest[6:]
+            idft_c = rest[:ncm]
+            rest = rest[ncm:]
         (hre_ref, him_ref, habs2_ref, zfgr_ref, zfgi_ref, *rest) = rest
         if is_aqam:
             (mask_ref, mrow_ref, logm_ref, scale_ref, invs_ref, *rest) = rest
@@ -584,7 +594,7 @@ def _fn_for_spec(spec: _Spec):
         # --- modulate (IDFT + guard) ------------------------------------------
         # mm mode: the TX matrix carries `ext` duplicated tail columns, so
         # the (TILE, TE) output already holds the lanes the ISI matmul needs.
-        xr, xi = _cmatmul(sr, si, (ftx_c0[:], ftx_c1[:], ftx_c2[:], ftx_c3[:], ftx_c4[:], ftx_c5[:]), passes)
+        xr, xi = _cmatmul(sr, si, tuple(c[:] for c in ftx_c), passes)
 
         # PAPR partials (duplicated ext lanes masked; power >= 0 so a 0 fill
         # is exact for both the max and the sum).
@@ -646,7 +656,7 @@ def _fn_for_spec(spec: _Spec):
                 acti = jnp.where(lane_t, xi, prev_im[:])
             else:
                 actr, acti = xr, xi
-            yr, yi = _cmatmul(actr, acti, (cv_c0[:], cv_c1[:], cv_c2[:], cv_c3[:], cv_c4[:], cv_c5[:]), passes)
+            yr, yi = _cmatmul(actr, acti, tuple(c[:] for c in cv_c), passes)
         # stash this tile's last row as the next tile's carry
         cout_re_ref[0, :] = xr[TILE - 1, :]
         cout_im_ref[0, :] = xi[TILE - 1, :]
@@ -673,7 +683,7 @@ def _fn_for_spec(spec: _Spec):
             yi = yi + sigma * rad * si_
 
         # --- RX (guard strip + DFT) ---------------------------------------------
-        fr, fi_ = _cmatmul(yr, yi, (rx_c0[:], rx_c1[:], rx_c2[:], rx_c3[:], rx_c4[:], rx_c5[:]), passes)
+        fr, fi_ = _cmatmul(yr, yi, tuple(c[:] for c in rx_c), passes)
 
         # --- equalize ---------------------------------------------------------------
         if method == EqualizationMethod.ZF:
@@ -696,7 +706,7 @@ def _fn_for_spec(spec: _Spec):
             # SC-FDE: equalized frequency bins -> time-domain symbols.
             er, ei = _cmatmul(
                 er, ei,
-                (idft_c[0][:], idft_c[1][:], idft_c[2][:], idft_c[3][:], idft_c[4][:], idft_c[5][:]),
+                tuple(c[:] for c in idft_c),
                 passes,
             )
 
@@ -750,7 +760,8 @@ def _fn_for_spec(spec: _Spec):
             se_ref[0, 0] = se_ref[0, 0] + serr
 
     # --- pallas_call wiring ---------------------------------------------------
-    n_vmem_consts = (12 if conv_taps else 18) + (6 if is_sc else 0) + 5 + (5 if is_aqam else 0)
+    ncm_out = 3 if passes == 1 else 6
+    n_vmem_consts = ((2 if conv_taps else 3) + (1 if is_sc else 0)) * ncm_out + 5 + (5 if is_aqam else 0)
     n_smem = 5 if conv_taps else 3  # + tap re/im rows in taps mode
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = (
