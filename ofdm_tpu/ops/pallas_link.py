@@ -482,6 +482,93 @@ def _inv_gray_static(g, width: int):
     return g
 
 
+def _qam_geometry(order: int):
+    from ofdm_tpu.ops.mapping import make_constellation
+
+    m_side = int(np.sqrt(order))
+    return m_side, int(np.log2(m_side)), np.float32(make_constellation("QAM", order).scale)
+
+
+def _encode_tile(spec: _Spec, raw, aq):
+    """Random bits -> (tx_idx, sr, si) constellation points (arithmetic codec).
+
+    Shared by every kernel builder so the TX math is identical across conv
+    modes.  ``aq`` = (mask, mrow, logm, scale) loaded rows for adaptive QAM.
+    """
+    if spec.mode == "aqam":
+        # Per-subcarrier masked draw: uniform bits & (order_k - 1) is a
+        # uniform index for subcarrier k (ops.adaptive.index_mask).
+        mask, mrow, lrow, srow = aq
+        tx_idx = raw & mask
+        # Vectorized gray/zigzag grid walk: qam_point_planar with
+        # per-lane (m, scale); shifts replace // and % (m power of 2).
+        row = tx_idx >> lrow
+        col = tx_idx & (mrow - 1)
+        colz = jnp.where((row & 1) == 1, mrow - 1 - col, col)
+        p = _gray_static((row << lrow) | colz)
+        mf = mrow.astype(jnp.float32)
+        c2 = (p & (mrow - 1)).astype(jnp.float32)
+        r2 = (p >> lrow).astype(jnp.float32)
+        sr = (2.0 * c2 - (mf - 1.0)) * srow
+        si = ((mf - 1.0) - 2.0 * r2) * srow
+        return tx_idx, sr, si
+    order = spec.order
+    if spec.mode == "qam":
+        m_side, logm, scale = _qam_geometry(order)
+        tx_idx = raw & (order - 1)
+        # Gray/zigzag grid walk (mapping.qam_point_planar semantics).
+        row = tx_idx >> logm
+        col = tx_idx & (m_side - 1)
+        colz = jnp.where((row & 1) == 1, m_side - 1 - col, col)
+        p = _gray_static((row << logm) | colz) if spec.is_gray else tx_idx
+        c2 = (p & (m_side - 1)).astype(jnp.float32)
+        r2 = (p >> logm).astype(jnp.float32)
+        sr = (2.0 * c2 - (m_side - 1)) * scale
+        si = ((m_side - 1) - 2.0 * r2) * scale
+        return tx_idx, sr, si
+    tx_idx = raw & (order - 1)
+    # PSK: table[i] = exp(2pi*j*inverse_gray(i)/M).
+    p = _inv_gray_static(tx_idx, spec.bits) if spec.is_gray else tx_idx
+    ang = p.astype(jnp.float32) * np.float32(2.0 * np.pi / order)
+    return tx_idx, jnp.cos(ang), jnp.sin(ang)
+
+
+def _demap_tile(spec: _Spec, er, ei, aq):
+    """Equalized points -> rx indices (O(1) arith slicer / PSK sector).
+
+    ``aq`` = (mrow, logm, inv_scale) loaded rows for adaptive QAM."""
+    bits = spec.bits
+    if spec.mode == "aqam":
+        mrow, lrow, invs = aq
+        xs = er * invs
+        ys = ei * invs
+        mf = mrow.astype(jnp.float32)
+        cc = jnp.clip(jnp.round((xs + (mf - 1.0)) * 0.5), 0.0, mf - 1.0).astype(jnp.int32)
+        rr = jnp.clip(jnp.round(((mf - 1.0) - ys) * 0.5), 0.0, mf - 1.0).astype(jnp.int32)
+        pp = rr * mrow + cc
+        j = _inv_gray_static(pp, bits)
+        rowj = j >> lrow
+        colj = j & (mrow - 1)
+        colzj = jnp.where((rowj & 1) == 1, mrow - 1 - colj, colj)
+        return (rowj << lrow) | colzj
+    if spec.mode == "qam":
+        m_side, logm, scale = _qam_geometry(spec.order)
+        xs = er / scale
+        ys = ei / scale
+        cc = jnp.clip(jnp.round((xs + (m_side - 1)) * 0.5), 0, m_side - 1).astype(jnp.int32)
+        rr = jnp.clip(jnp.round(((m_side - 1) - ys) * 0.5), 0, m_side - 1).astype(jnp.int32)
+        pp = rr * m_side + cc
+        if not spec.is_gray:
+            return pp
+        j = _inv_gray_static(pp, bits)
+        rowj = j >> logm
+        colj = j & (m_side - 1)
+        colzj = jnp.where((rowj & 1) == 1, m_side - 1 - colj, colj)
+        return (rowj << logm) | colzj
+    sector = psk_sector_arith(er, ei, spec.order)
+    return _gray_static(sector) if spec.is_gray else sector
+
+
 @functools.lru_cache(maxsize=None)
 def _fn_for_spec(spec: _Spec):
     """Build the per-spec shared chunk function (kernel + pallas_call).
@@ -492,13 +579,7 @@ def _fn_for_spec(spec: _Spec):
     compiled executable across runners.
     """
     n, L, T = spec.n, spec.L, spec.T
-    mode = spec.mode
-    is_qam = mode == "qam"
-    is_aqam = mode == "aqam"
-    order = spec.order
-    m_side = int(np.sqrt(order)) if is_qam else 0
-    logm = int(np.log2(m_side)) if is_qam else 0
-    is_gray = spec.is_gray
+    is_aqam = spec.mode == "aqam"
     bits = spec.bits
     passes = spec.passes
     tiles = spec.tiles
@@ -512,11 +593,6 @@ def _fn_for_spec(spec: _Spec):
     TE = T + ext  # width of the TX output / prev planes / carry rows
     # taps mode reads full previous rows; mm mode only the ext tail lanes.
     need_prev = (conv_taps and ctaps > 1) or ext > 0
-    scale = None
-    if is_qam:
-        from ofdm_tpu.ops.mapping import make_constellation
-
-        scale = np.float32(make_constellation("QAM", order).scale)
 
     def kernel(
         seed_ref,  # SMEM (2,) i32: key words
@@ -554,42 +630,12 @@ def _fn_for_spec(spec: _Spec):
 
         # --- TX: random indices -> constellation points (arithmetic) -------
         raw = pltpu.bitcast(pltpu.prng_random_bits((TILE, n)), jnp.int32)
-        if is_aqam:
-            # Per-subcarrier masked draw: uniform bits & (order_k - 1) is a
-            # uniform index for subcarrier k (ops.adaptive.index_mask).
-            tx_idx = raw & mask_ref[:]
-            mrow = mrow_ref[:]
-            lrow = logm_ref[:]
-            srow = scale_ref[:]
-            # Vectorized gray/zigzag grid walk: qam_point_planar with
-            # per-lane (m, scale); shifts replace // and % (m power of 2).
-            row = tx_idx >> lrow
-            col = tx_idx & (mrow - 1)
-            colz = jnp.where((row & 1) == 1, mrow - 1 - col, col)
-            p = _gray_static((row << lrow) | colz)
-            mf = mrow.astype(jnp.float32)
-            c2 = (p & (mrow - 1)).astype(jnp.float32)
-            r2 = (p >> lrow).astype(jnp.float32)
-            sr = (2.0 * c2 - (mf - 1.0)) * srow
-            si = ((mf - 1.0) - 2.0 * r2) * srow
-        elif is_qam:
-            tx_idx = raw & (order - 1)
-            # Gray/zigzag grid walk (mapping.qam_point_planar semantics).
-            row = tx_idx >> logm
-            col = tx_idx & (m_side - 1)
-            colz = jnp.where((row & 1) == 1, m_side - 1 - col, col)
-            p = _gray_static((row << logm) | colz) if is_gray else tx_idx
-            c2 = (p & (m_side - 1)).astype(jnp.float32)
-            r2 = (p >> logm).astype(jnp.float32)
-            sr = (2.0 * c2 - (m_side - 1)) * scale
-            si = ((m_side - 1) - 2.0 * r2) * scale
-        else:
-            tx_idx = raw & (order - 1)
-            # PSK: table[i] = exp(2pi*j*inverse_gray(i)/M).
-            p = _inv_gray_static(tx_idx, bits) if is_gray else tx_idx
-            ang = p.astype(jnp.float32) * np.float32(2.0 * np.pi / order)
-            sr = jnp.cos(ang)
-            si = jnp.sin(ang)
+        aq_enc = (
+            (mask_ref[:], mrow_ref[:], logm_ref[:], scale_ref[:])
+            if is_aqam
+            else None
+        )
+        tx_idx, sr, si = _encode_tile(spec, raw, aq_enc)
 
         # --- modulate (IDFT + guard) ------------------------------------------
         # mm mode: the TX matrix carries `ext` duplicated tail columns, so
@@ -711,35 +757,10 @@ def _fn_for_spec(spec: _Spec):
             )
 
         # --- demap (arith slicer) + error counts --------------------------------------
-        if is_aqam:
-            xs = er * invs_ref[:]
-            ys = ei * invs_ref[:]
-            mf = mrow.astype(jnp.float32)
-            cc = jnp.clip(jnp.round((xs + (mf - 1.0)) * 0.5), 0.0, mf - 1.0).astype(jnp.int32)
-            rr = jnp.clip(jnp.round(((mf - 1.0) - ys) * 0.5), 0.0, mf - 1.0).astype(jnp.int32)
-            pp = rr * mrow + cc
-            j = _inv_gray_static(pp, bits)
-            rowj = j >> lrow
-            colj = j & (mrow - 1)
-            colzj = jnp.where((rowj & 1) == 1, mrow - 1 - colj, colj)
-            rx_idx = (rowj << lrow) | colzj
-        elif is_qam:
-            xs = er / scale
-            ys = ei / scale
-            cc = jnp.clip(jnp.round((xs + (m_side - 1)) * 0.5), 0, m_side - 1).astype(jnp.int32)
-            rr = jnp.clip(jnp.round(((m_side - 1) - ys) * 0.5), 0, m_side - 1).astype(jnp.int32)
-            pp = rr * m_side + cc
-            if is_gray:
-                j = _inv_gray_static(pp, bits)
-                rowj = j >> logm
-                colj = j & (m_side - 1)
-                colzj = jnp.where((rowj & 1) == 1, m_side - 1 - colj, colj)
-                rx_idx = (rowj << logm) | colzj
-            else:
-                rx_idx = pp
-        else:
-            sector = psk_sector_arith(er, ei, order)
-            rx_idx = _gray_static(sector) if is_gray else sector
+        aq_dec = (
+            (mrow_ref[:], logm_ref[:], invs_ref[:]) if is_aqam else None
+        )
+        rx_idx = _demap_tile(spec, er, ei, aq_dec)
 
         x = tx_idx ^ rx_idx
         # Accumulate the per-symbol popcount plane first, then reduce ONCE
