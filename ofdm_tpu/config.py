@@ -183,8 +183,8 @@ class SimulationConfig:
     # scoped-VMEM plan (narrow links, pallas_link._plan), else the XLA
     # matmul/CT-DFT chunk — measured fastest per width on the target TPU.
     # "pallas": force the kernel, including the tap-shift wide-link mode
-    # (slower than XLA CT-DFT at 1024 sc: 117.6 vs 157.7M QAM/s, but a
-    # single kernel).  "matmul": XLA matmul-form operators.  "batchminor":
+    # (slower than the XLA matmul path at 1024 sc: 117.6M vs 2.12G QAM/s,
+    # but a single kernel).  "matmul": XLA matmul-form operators.  "batchminor":
     # the (time, batch)-layout fused chunk in ops/fused.py (measured
     # slower; kept opt-in).  Anything else: generic planar chunk.
     hotpath: str = "auto"

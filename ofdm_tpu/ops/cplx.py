@@ -226,16 +226,37 @@ def dot_precise(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return dot3(a, b)
 
 
-def matmul(x: Complexish, wr: jnp.ndarray, wi: jnp.ndarray) -> Complexish:
+def dot1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Single bf16 MXU pass (~6e-3 rel err; exact f32 dot on CPU/GPU).
+
+    The XLA analog of the fused kernel's ``matmul_passes=1`` mode: operands
+    round to bf16 once, one MXU pass per real matmul.  bf16's relative
+    rounding error is length-independent (error per term scales with the
+    term), so the 0.07 decision-half-distance gate calibrated at 64
+    subcarriers holds at any DFT length."""
+    if jax.default_backend() in ("cpu", "gpu"):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def matmul(x: Complexish, wr: jnp.ndarray, wi: jnp.ndarray, passes: int = 3) -> Complexish:
     """Complex matmul x @ (wr + i wi) with 3-multiplication Karatsuba.
 
     P1 = xr@wr, P2 = xi@wi, P3 = (xr+xi)@(wr+wi);
     yr = P1 - P2, yi = P3 - P1 - P2.
+
+    ``passes`` selects the per-real-matmul numeric mode: 3 = bf16x3 split
+    (f32-grade, default), 1 = single bf16 pass (3 MXU passes per complex
+    matmul instead of 9; gated by SimulationConfig.matmul_passes).
     """
     xr, xi = (x.re, x.im) if isinstance(x, CArray) else (jnp.real(x), jnp.imag(x))
-    p1 = dot_precise(xr, wr)
-    p2 = dot_precise(xi, wi)
-    p3 = dot_precise(xr + xi, wr + wi)
+    d = dot1 if passes == 1 else dot_precise
+    p1 = d(xr, wr)
+    p2 = d(xi, wi)
+    p3 = d(xr + xi, wr + wi)
     yr, yi = p1 - p2, p3 - p1 - p2
     if isinstance(x, CArray):
         return CArray(yr, yi)

@@ -51,13 +51,13 @@ def _split_factors(n: int) -> Tuple[int, int]:
     return n1, n // n1
 
 
-def _apply_dense(x: CArray, n: int, inverse: bool) -> CArray:
+def _apply_dense(x: CArray, n: int, inverse: bool, passes: int = 3) -> CArray:
     fr, fi = dft_matrix(n, inverse)
     wr = jnp.asarray(fr, jnp.float32)
     wi = jnp.asarray(fi, jnp.float32)
     lead = x.shape[:-1]
     flat = x.reshape(-1, n)
-    out = cplx.matmul(flat, wr, wi)
+    out = cplx.matmul(flat, wr, wi, passes=passes)
     return out.reshape(*lead, n)
 
 
@@ -88,7 +88,7 @@ def _ct_constants(n: int, inverse: bool):
     )
 
 
-def _apply_ct(x: CArray, n: int, inverse: bool) -> CArray:
+def _apply_ct(x: CArray, n: int, inverse: bool, passes: int = 3) -> CArray:
     n1, n2, f2r, f2i, twr, twi, f1r, f1i = _ct_constants(n, inverse)
     lead = x.shape[:-1]
     b = int(np.prod(lead)) if lead else 1
@@ -98,35 +98,35 @@ def _apply_ct(x: CArray, n: int, inverse: bool) -> CArray:
 
     xt = CArray(t(x.re), t(x.im))  # (B, n1, n2)
     # Stage 1: DFT over n2 for each n1.
-    y = cplx.matmul(xt.reshape(b * n1, n2), f2r, f2i).reshape(b, n1, n2)
+    y = cplx.matmul(xt.reshape(b * n1, n2), f2r, f2i, passes=passes).reshape(b, n1, n2)
     # Twiddle: W_N^{n1 k2}.
     y = y * CArray(twr, twi)
     # Stage 2: DFT over n1 for each k2: transpose to (B, k2, n1).
     yt = CArray(y.re.transpose(0, 2, 1), y.im.transpose(0, 2, 1))
-    z = cplx.matmul(yt.reshape(b * n2, n1), f1r, f1i).reshape(b, n2, n1)
+    z = cplx.matmul(yt.reshape(b * n2, n1), f1r, f1i, passes=passes).reshape(b, n2, n1)
     # Output layout: k = N2*k1 + k2 -> array (k1, k2) = transpose of z.
     out = CArray(z.re.transpose(0, 2, 1), z.im.transpose(0, 2, 1))
     return out.reshape(*lead, n)
 
 
-def _apply(x: CArray, n: int, inverse: bool) -> CArray:
+def _apply(x: CArray, n: int, inverse: bool, passes: int = 3) -> CArray:
     n1, n2 = _split_factors(n)
     if n > _CT_THRESHOLD and n1 >= 8:
-        return _apply_ct(x, n, inverse)
-    return _apply_dense(x, n, inverse)
+        return _apply_ct(x, n, inverse, passes)
+    return _apply_dense(x, n, inverse, passes)
 
 
-def fft_ortho(x: Complexish, n: int) -> Complexish:
+def fft_ortho(x: Complexish, n: int, passes: int = 3) -> Complexish:
     if isinstance(x, CArray):
         if x.shape[-1] != n:
             raise ValueError(f"Planar DFT requires last dim == n ({x.shape[-1]} != {n})")
-        return _apply(x, n, inverse=False)
+        return _apply(x, n, inverse=False, passes=passes)
     return jnp.fft.fft(x, n=n, axis=-1, norm="ortho")
 
 
-def ifft_ortho(x: Complexish, n: int) -> Complexish:
+def ifft_ortho(x: Complexish, n: int, passes: int = 3) -> Complexish:
     if isinstance(x, CArray):
         if x.shape[-1] != n:
             raise ValueError(f"Planar DFT requires last dim == n ({x.shape[-1]} != {n})")
-        return _apply(x, n, inverse=True)
+        return _apply(x, n, inverse=True, passes=passes)
     return jnp.fft.ifft(x, n=n, axis=-1, norm="ortho")

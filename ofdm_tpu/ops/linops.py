@@ -129,15 +129,25 @@ def rx_matrix(
     return np.ascontiguousarray(R.real), np.ascontiguousarray(R.imag)
 
 
-def _mm(x: CArray, mats: Tuple[np.ndarray, np.ndarray]) -> CArray:
-    return cplx.matmul(x, jnp.asarray(mats[0], jnp.float32), jnp.asarray(mats[1], jnp.float32))
+def _mm(x: CArray, mats: Tuple[np.ndarray, np.ndarray], passes: int = 3) -> CArray:
+    return cplx.matmul(
+        x,
+        jnp.asarray(mats[0], jnp.float32),
+        jnp.asarray(mats[1], jnp.float32),
+        passes=passes,
+    )
 
 
 def modulate(
-    symbols: CArray, n: int, prefix: PrefixType, L: int, modulation: ModulationType
+    symbols: CArray,
+    n: int,
+    prefix: PrefixType,
+    L: int,
+    modulation: ModulationType,
+    passes: int = 3,
 ) -> CArray:
     """(B, N) frequency/time symbols -> (B, T) guarded time blocks."""
-    return _mm(symbols, tx_matrix(n, prefix, L, modulation))
+    return _mm(symbols, tx_matrix(n, prefix, L, modulation), passes)
 
 
 def convolve(
@@ -145,15 +155,31 @@ def convolve(
     t0: Tuple[jnp.ndarray, jnp.ndarray],
     t1: Tuple[jnp.ndarray, jnp.ndarray],
     carry_row: Optional[CArray] = None,
+    passes: int = 3,
+    ext: Optional[int] = None,
 ) -> Tuple[CArray, CArray]:
-    """Stream conv via two Toeplitz matmuls; returns (out, last_row_carry)."""
+    """Stream conv via Toeplitz matmuls; returns (out, last_row_carry).
+
+    ``ext`` (= num_taps - 1, `ext_width`) enables the banded ISI form: T1's
+    only nonzero rows are its last ``ext`` (the previous block's tail is all
+    that spills into this block), so the second matmul shrinks from (B, T) @
+    (T, T) to (B, E) @ (E, T) — at wide links this halves the conv FLOPs.
+    ``t1`` must then be the (E, T) band ``T1[T-E:, :]``.  ``ext=None`` keeps
+    the dense two-matmul form (t1 the full (T, T) matrix); ``ext=0`` (flat
+    channel) skips the ISI term entirely.
+    """
     if carry_row is None:
         carry_row = cplx.zeros((blocks.shape[-1],), blocks)
     prev = cplx.concat([carry_row[None, :], blocks[:-1]], axis=0)
-    out = cplx.matmul(blocks, t0[0], t0[1]) + cplx.matmul(prev, t1[0], t1[1])
+    out = cplx.matmul(blocks, t0[0], t0[1], passes=passes)
+    if ext is None:
+        out = out + cplx.matmul(prev, t1[0], t1[1], passes=passes)
+    elif ext > 0:
+        T = blocks.shape[-1]
+        out = out + cplx.matmul(prev[..., T - ext :], t1[0], t1[1], passes=passes)
     return out, blocks[-1]
 
 
-def demodulate(y: CArray, n: int, prefix: PrefixType, L: int) -> CArray:
+def demodulate(y: CArray, n: int, prefix: PrefixType, L: int, passes: int = 3) -> CArray:
     """(B, T) received blocks -> (B, N) unequalized frequency symbols."""
-    return _mm(y, rx_matrix(n, prefix, L))
+    return _mm(y, rx_matrix(n, prefix, L), passes)

@@ -87,6 +87,8 @@ def sc_modulate(
     return add_prefix(symbols, prefix_type, prefix_length)
 
 
-def sc_demodulate_from_freq(equalized_freq: Complexish, n_sc: int) -> Complexish:
+def sc_demodulate_from_freq(
+    equalized_freq: Complexish, n_sc: int, passes: int = 3
+) -> Complexish:
     """SC-FDE RX back-end: equalized frequency bins -> time-domain symbols."""
-    return ifft_ortho(equalized_freq, n_sc)
+    return ifft_ortho(equalized_freq, n_sc, passes=passes)

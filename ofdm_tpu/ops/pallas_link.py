@@ -80,9 +80,10 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
 
     "taps" is tried only when `allow_taps`: the tap-shift kernel works at
     any width but its lane rolls relayout on this backend — measured
-    117.6M QAM syms/s vs 157.7M for the XLA CT-DFT hot path at 1024
-    subcarriers (and a 509s vs 19s compile), so hotpath="auto" prefers
-    the XLA path for links too wide for the "mm" kernel, while an explicit
+    117.6M QAM syms/s (509s compile) vs 2.12G QAM syms/s for the XLA
+    matmul-form hot path at 1024 subcarriers (single-pass bf16 + banded
+    ISI matmul; docs/PERFORMANCE.md), so hotpath="auto" prefers the XLA
+    path for links too wide for the "mm" kernel, while an explicit
     hotpath="pallas" keeps the single-kernel form available (e.g. for
     minimal HBM traffic under sharding)."""
     u = 3 if passes == 1 else 6  # staged bf16 matrices per complex constant

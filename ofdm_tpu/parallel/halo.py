@@ -64,6 +64,8 @@ def convolve_stream_sharded(
     t1: Tuple[jnp.ndarray, jnp.ndarray],
     carry_row: Complexish,
     axis_name: str,
+    passes: int = 3,
+    ext: int = None,
 ) -> Tuple[Complexish, Complexish]:
     """Matmul-form stream convolution of a contiguous sharded stream.
 
@@ -76,7 +78,7 @@ def convolve_stream_sharded(
     last = blocks[-1]
     recv, is0, _ = _neighbor_shift(last, axis_name)
     prev_row = cplx.where(is0, carry_row, recv)
-    out, _ = linops.convolve(blocks, t0, t1, prev_row)
+    out, _ = linops.convolve(blocks, t0, t1, prev_row, passes=passes, ext=ext)
     new_carry = _broadcast_from_shard0(recv, is0, axis_name)
     return out, new_carry
 

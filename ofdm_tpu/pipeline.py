@@ -218,6 +218,17 @@ class LinkRunner:
             return False
         return jax.default_backend() not in ("cpu", "gpu")
 
+    @property
+    def xla_matmul_passes(self) -> int:
+        """bf16 pass count for the XLA matmul-form hot path.
+
+        Same decision-distance gate as the fused kernel
+        (pallas_link.selected_passes): matmul_passes="auto" selects the
+        single bf16 pass when the constellation half-distance >= 0.07."""
+        from ofdm_tpu.ops import pallas_link
+
+        return pallas_link.selected_passes(self)
+
     # -- device constants ---------------------------------------------------
     def _constants(self):
         s = self.setup
@@ -225,13 +236,19 @@ class LinkRunner:
         if self.planar:
             T = s.block_length
             t0, t1 = linops.conv_matrices(s.taps, T)
+            # ISI band: T1's only nonzero rows are its last E = taps-1
+            # (linops.convolve's `ext` form) — (B, E) @ (E, T) instead of a
+            # second dense (T, T) matmul.
+            E = linops.ext_width(len(np.asarray(s.taps)), T)
+            band = t1[T - E :, :] if E else t1[:0, :]
             return {
                 "taps": cplx.from_complex(s.taps),
                 "h_freq": cplx.from_complex(s.h_freq),
                 "sqrt_power": jnp.asarray(np.sqrt(s.power_allocation), jnp.float32),
                 "cdtype": cdtype,
                 "conv_t0": (jnp.asarray(t0.real, jnp.float32), jnp.asarray(t0.imag, jnp.float32)),
-                "conv_t1": (jnp.asarray(t1.real, jnp.float32), jnp.asarray(t1.imag, jnp.float32)),
+                "conv_t1": (jnp.asarray(band.real, jnp.float32), jnp.asarray(band.imag, jnp.float32)),
+                "conv_ext": E,
             }
         return {
             "taps": jnp.asarray(s.taps, cdtype),
@@ -329,25 +346,33 @@ class LinkRunner:
             # banded-Toeplitz stream convolution, and guard-strip+DFT are
             # three MXU matmuls — measured ~4x faster than the tap-unrolled
             # convolution on the target TPU (lane-offset updates relayout).
+            # The bf16 pass count follows the same decision-distance gate as
+            # the fused kernel (matmul_passes="auto" -> 1 pass for QAM<=256).
+            xp = self.xla_matmul_passes
             blocks = linops.modulate(
-                symbols, n, cfg.prefix_type, s.prefix_length, cfg.modulation_type
+                symbols, n, cfg.prefix_type, s.prefix_length, cfg.modulation_type,
+                passes=xp,
             )
             papr_peak, papr_sum, papr_count = mt.papr_stats(blocks)
             if halo_axis is not None:
                 from ofdm_tpu.parallel import halo
 
                 rx_blocks, conv_carry = halo.convolve_stream_sharded(
-                    blocks, c["conv_t0"], c["conv_t1"], conv_carry, halo_axis
+                    blocks, c["conv_t0"], c["conv_t1"], conv_carry, halo_axis,
+                    passes=xp, ext=c["conv_ext"],
                 )
             else:
                 rx_blocks, conv_carry = linops.convolve(
-                    blocks, c["conv_t0"], c["conv_t1"], conv_carry
+                    blocks, c["conv_t0"], c["conv_t1"], conv_carry,
+                    passes=xp, ext=c["conv_ext"],
                 )
             if add_noise:
                 rx_blocks = ch.awgn(
                     knoise, rx_blocks, snr_db, measured_power, axis_name
                 )
-            freq = linops.demodulate(rx_blocks, n, cfg.prefix_type, s.prefix_length)
+            freq = linops.demodulate(
+                rx_blocks, n, cfg.prefix_type, s.prefix_length, passes=xp
+            )
         else:
             # --- TX: modulate ------------------------------------------------
             if cfg.modulation_type == ModulationType.OFDM:
@@ -384,7 +409,9 @@ class LinkRunner:
             )
         eqd = eq.equalize(freq, c["h_freq"], cfg.equalization_method, snr_db)
         data = (
-            ofdm.sc_demodulate_from_freq(eqd, n)
+            ofdm.sc_demodulate_from_freq(
+                eqd, n, passes=self.xla_matmul_passes if use_mm else 3
+            )
             if cfg.modulation_type == ModulationType.SC_OFDM
             else eqd
         )
@@ -596,7 +623,13 @@ class LinkRunner:
         max_chunk = (2**31 - 1) // max(s.bits_per_ofdm_symbol, 1)
         chunk = min(chunk, max_chunk)
         hotpath_used = "xla"
-        matmul_passes_used = None
+        # The planar XLA matmul path and the fused kernel share the same
+        # pass-count gate, so this records the numeric mode either way.
+        matmul_passes_used = (
+            self.xla_matmul_passes
+            if self.planar and s.cfg.hotpath in ("auto", "matmul", "pallas")
+            else None
+        )
         if self.planar and s.cfg.hotpath in ("auto", "pallas"):
             # Keep the scanned bulk on the fused Pallas kernel (which needs a
             # _TILE-multiple chunk — per *device* under sharding, see
@@ -609,7 +642,6 @@ class LinkRunner:
             if chunk >= gran and pallas_link.supports(self, interpret=self._interpret):
                 chunk -= chunk % gran
                 hotpath_used = "pallas"
-                matmul_passes_used = pallas_link.selected_passes(self)
 
         totals = {"bit_errors": 0, "symbol_errors": 0}
         papr_peak, papr_sum, papr_count = 0.0, 0.0, 0

@@ -178,3 +178,33 @@ def test_merged_conv_matrix_matches_stream(K):
     out = act @ C
     expected = np.convolve(x.reshape(-1), taps, mode="full")[: x.size].reshape(B, T)
     np.testing.assert_allclose(out, expected, atol=1e-10)
+
+
+@pytest.mark.parametrize("K", [1, 3, 6])
+def test_convolve_banded_matches_dense(K):
+    """The (E, T) ISI-band form equals the dense two-matmul form.
+
+    T1's only nonzero rows are its last E = K-1 (the previous block's tail
+    is all that spills into the current block), so contracting just the
+    tail lanes is the same linear map — the form the pipeline hot path uses
+    at wide links (pipeline._constants / linops.convolve ext)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(100 + K)
+    T, B = 24, 7
+    taps = _rand(rng, K)
+    x = _rand(rng, B, T)
+    carry = _rand(rng, T)
+    t0, t1 = linops.conv_matrices(taps, T)
+    E = linops.ext_width(K, T)
+    band = t1[T - E :, :] if E else t1[:0, :]
+
+    def j(m):
+        return (jnp.asarray(np.float32(m.real)), jnp.asarray(np.float32(m.imag)))
+
+    xp = cplx.from_complex(x)
+    cp = cplx.from_complex(carry)
+    dense, carry_d = linops.convolve(xp, j(t0), j(t1), cp)
+    banded, carry_b = linops.convolve(xp, j(t0), j(band), cp, ext=E)
+    np.testing.assert_allclose(cplx.to_numpy(banded), cplx.to_numpy(dense), atol=1e-5)
+    np.testing.assert_allclose(cplx.to_numpy(carry_b), cplx.to_numpy(carry_d))
