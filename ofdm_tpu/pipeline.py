@@ -635,7 +635,8 @@ class LinkRunner:
             # _TILE-multiple chunk — per *device* under sharding, see
             # _pallas_chunk_multiple): round the chunk down and let the
             # remainder run one XLA step, instead of silently dropping the
-            # whole run to the ~10x slower XLA path.
+            # whole run to the ~2.5x slower XLA path (41.8M vs 105.9M OFDM
+            # syms/s at the bench config since the passes-gated matmul path).
             from ofdm_tpu.ops import pallas_link
 
             gran = self._pallas_chunk_multiple()
