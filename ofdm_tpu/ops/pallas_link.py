@@ -90,14 +90,23 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
     E = max(0, min(n_taps - 1, T))  # merged-conv tail lanes (linops.ext_width)
     dft_taps = 2 * n * T + (n * n if is_sc else 0)
     dft_mm = n * (T + E) + n * T + (n * n if is_sc else 0)
-    for conv, staged, act_rows, TE in (
-        ("mm", (T + E) * T + dft_mm, _ACT_ROWS_MM, T + E),
-        ("taps", dft_taps, _ACT_ROWS_TAPS, T),
+    for conv, staged, act_rows, TE, uu in (
+        ("mm", (T + E) * T + dft_mm, _ACT_ROWS_MM, T + E, u),
+        # "mm4": the same merged-conv kernel with 4-mult complex matmuls
+        # (yr = xr@r - xi@i, yi = xr@i + xi@r) instead of Karatsuba — one
+        # more MXU pass per complex matmul, but only the (r, i) halves are
+        # staged (2 matrices per constant instead of 3).  This is what lets
+        # the fused kernel fit 1024-subcarrier links: Karatsuba's stage set
+        # is ~19 MB there, the 4-mult set ~12.8 MB.  passes=1 only.
+        ("mm4", (T + E) * T + dft_mm, _ACT_ROWS_MM, T + E, 2),
+        ("taps", dft_taps, _ACT_ROWS_TAPS, T, u),
     ):
         if conv == "taps" and not (allow_taps and 0 < n_taps <= _MAX_KERNEL_TAPS):
             continue
-        fixed = 2 * u * staged
-        for tile in (1024, 512, 256, 128):
+        if conv == "mm4" and passes != 1:
+            continue
+        fixed = 2 * uu * staged
+        for tile in (1024, 512, 256, 128, 64, 32):
             if fixed + 4 * act_rows * tile * TE <= _VMEM_SCOPED_LIMIT:
                 return tile, conv
     return None
@@ -134,14 +143,22 @@ def _split_const(w: np.ndarray):
     return np.asarray(hi), np.asarray(lo)
 
 
-def _complex_matrix_consts(re: np.ndarray, im: np.ndarray, passes: int = 3):
-    """bf16 splits of (re, im, re+im) for a Karatsuba complex matmul.
+def _complex_matrix_consts(
+    re: np.ndarray, im: np.ndarray, passes: int = 3, quad: bool = False
+):
+    """bf16 splits of (re, im[, re+im]) for the kernel's complex matmuls.
 
     passes=1 returns the hi halves only ([r_hi, i_hi, s_hi]): the lo
     matrices would be staged in scoped VMEM even though the single-pass
     kernel never reads them (measured: the Mosaic stack stages every
     *operand*, not every use — a 512-sc passes=1 kernel OOM'd at 31.8M
-    with all six staged), so they must not be passed at all."""
+    with all six staged), so they must not be passed at all.
+
+    quad=True (the "mm4" wide-link mode) drops the Karatsuba sum matrix as
+    well: the 4-mult complex matmul reads only [r_hi, i_hi] — one more MXU
+    pass, one third less staging (what fits 1024-subcarrier links)."""
+    if quad:
+        return [_split_const(re)[0], _split_const(im)[0]]
     out = []
     for m in (re, im, re + im):
         hi, lo = _split_const(m)
@@ -161,14 +178,25 @@ def _split_act(x):
     return xh, xl
 
 
-def _cmatmul(xr, xi, consts, passes: int = 3):
-    """Karatsuba complex matmul; consts from _complex_matrix_consts
-    (3 refs at passes=1, 6 at passes=3).
+def _cmatmul(xr, xi, consts, passes: int = 3, quad: bool = False):
+    """Complex matmul; consts from _complex_matrix_consts
+    (2 refs at quad, 3 at passes=1, 6 at passes=3).
 
-    passes=3: bf16x3 split per real matmul (~1e-5 rel err, f32-grade).
-    passes=1: single bf16 pass (~6e-3 rel err) — 3 MXU passes per complex
-    matmul instead of 9; selected via SimulationConfig.matmul_passes.
+    passes=3: Karatsuba with bf16x3 split per real matmul (~1e-5 rel err).
+    passes=1: Karatsuba, single bf16 pass (~6e-3 rel err) — 3 MXU passes
+    per complex matmul instead of 9; via SimulationConfig.matmul_passes.
+    quad: 4-mult textbook form (yr = xr@r − xi@i, yi = xr@i + xi@r), single
+    bf16 pass — 4 MXU passes but only 2 staged matrices (wide links).
     """
+    if quad:
+        r_hi, i_hi = consts
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)  # noqa: E731
+        xrb = xr.astype(jnp.bfloat16)
+        xib = xi.astype(jnp.bfloat16)
+        return (
+            d(xrb, r_hi) - d(xib, i_hi),
+            d(xrb, i_hi) + d(xib, r_hi),
+        )
     if passes == 1:
         r_hi, i_hi, s_hi = consts
         d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)  # noqa: E731
@@ -375,7 +403,7 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
         ctaps=len(np.asarray(s.taps)) if conv == "taps" else 0,
         ext=(
             linops.ext_width(len(np.asarray(s.taps)), cfg.num_subcarriers + s.prefix_length)
-            if conv == "mm"
+            if conv != "taps"
             else 0
         ),
         n=cfg.num_subcarriers,
@@ -398,6 +426,7 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
     cfg = s.cfg
     n, L, T = spec.n, spec.L, spec.T
 
+    quad = spec.conv == "mm4"
     ftx = linops.tx_matrix(n, cfg.prefix_type, L, cfg.modulation_type)
     rxm = linops.rx_matrix(n, cfg.prefix_type, L)
     if spec.conv == "taps":
@@ -417,16 +446,16 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
             fr = np.concatenate([fr, fr[:, T - E :]], axis=1)
             fi = np.concatenate([fi, fi[:, T - E :]], axis=1)
         consts = (
-            _complex_matrix_consts(fr, fi, spec.passes)
-            + _complex_matrix_consts(cm.real, cm.imag, spec.passes)
-            + _complex_matrix_consts(*rxm, spec.passes)
-        )  # 3 complex matrices x (3 | 6) bf16 splits
+            _complex_matrix_consts(fr, fi, spec.passes, quad)
+            + _complex_matrix_consts(cm.real, cm.imag, spec.passes, quad)
+            + _complex_matrix_consts(*rxm, spec.passes, quad=quad)
+        )  # 3 complex matrices x (2 | 3 | 6) bf16 splits
     if spec.is_sc:
         # SC-FDE RX back-end: equalized bins -> time symbols via one IDFT.
         from ofdm_tpu.ops.dft import dft_matrix
 
         fi_r, fi_i = dft_matrix(n, inverse=True)
-        consts = consts + _complex_matrix_consts(fi_r, fi_i, spec.passes)
+        consts = consts + _complex_matrix_consts(fi_r, fi_i, spec.passes, quad)
 
     h = s.h_freq.astype(np.complex128)
     consts.append(np.asarray(h.real, np.float32).reshape(1, n))
@@ -589,6 +618,7 @@ def _fn_for_spec(spec: _Spec):
     method = spec.method
     is_sc = spec.is_sc
     conv_taps = spec.conv == "taps"
+    quad = spec.conv == "mm4"  # 4-mult complex matmuls (wide links)
     ctaps = spec.ctaps
     ext = spec.ext  # mm mode: prev-tail lanes in the conv activation
     TE = T + ext  # width of the TX output / prev planes / carry rows
@@ -601,7 +631,7 @@ def _fn_for_spec(spec: _Spec):
         cg_ref,  # SMEM (1,) f32: mean |H|^2 (MMSE)
         *args,
     ):
-        ncm = 3 if passes == 1 else 6  # bf16 splits per complex matrix
+        ncm = 2 if quad else (3 if passes == 1 else 6)  # splits per matrix
         if conv_taps:
             (htr_ref, hti_ref, carry_re_ref, carry_im_ref, *refs) = args
             ftx_c, rx_c = refs[:ncm], refs[ncm : 2 * ncm]
@@ -641,7 +671,7 @@ def _fn_for_spec(spec: _Spec):
         # --- modulate (IDFT + guard) ------------------------------------------
         # mm mode: the TX matrix carries `ext` duplicated tail columns, so
         # the (TILE, TE) output already holds the lanes the ISI matmul needs.
-        xr, xi = _cmatmul(sr, si, tuple(c[:] for c in ftx_c), passes)
+        xr, xi = _cmatmul(sr, si, tuple(c[:] for c in ftx_c), passes, quad)
 
         # PAPR partials (duplicated ext lanes masked; power >= 0 so a 0 fill
         # is exact for both the max and the sum).
@@ -703,7 +733,7 @@ def _fn_for_spec(spec: _Spec):
                 acti = jnp.where(lane_t, xi, prev_im[:])
             else:
                 actr, acti = xr, xi
-            yr, yi = _cmatmul(actr, acti, tuple(c[:] for c in cv_c), passes)
+            yr, yi = _cmatmul(actr, acti, tuple(c[:] for c in cv_c), passes, quad)
         # stash this tile's last row as the next tile's carry
         cout_re_ref[0, :] = xr[TILE - 1, :]
         cout_im_ref[0, :] = xi[TILE - 1, :]
@@ -730,7 +760,7 @@ def _fn_for_spec(spec: _Spec):
             yi = yi + sigma * rad * si_
 
         # --- RX (guard strip + DFT) ---------------------------------------------
-        fr, fi_ = _cmatmul(yr, yi, tuple(c[:] for c in rx_c), passes)
+        fr, fi_ = _cmatmul(yr, yi, tuple(c[:] for c in rx_c), passes, quad)
 
         # --- equalize ---------------------------------------------------------------
         if method == EqualizationMethod.ZF:
@@ -755,6 +785,7 @@ def _fn_for_spec(spec: _Spec):
                 er, ei,
                 tuple(c[:] for c in idft_c),
                 passes,
+                quad,
             )
 
         # --- demap (arith slicer) + error counts --------------------------------------
@@ -782,7 +813,7 @@ def _fn_for_spec(spec: _Spec):
             se_ref[0, 0] = se_ref[0, 0] + serr
 
     # --- pallas_call wiring ---------------------------------------------------
-    ncm_out = 3 if passes == 1 else 6
+    ncm_out = 2 if quad else (3 if passes == 1 else 6)
     n_vmem_consts = ((2 if conv_taps else 3) + (1 if is_sc else 0)) * ncm_out + 5 + (5 if is_aqam else 0)
     n_smem = 5 if conv_taps else 3  # + tap re/im rows in taps mode
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -280,17 +280,23 @@ def test_plan_shrinks_for_wide_configs():
     # 512 sc: fits at a shrunken tile (measured: tile=1024 OOM'd the 16M
     # scoped stack at 31.77M; tile=256 compiles and runs 6.2x the XLA path).
     assert pallas_link._plan(523, 512, 1, False, 12) == (256, "mm")
-    # Wide: XLA CT-DFT preferred under "auto" (taps kernel measured slower:
-    # 117.6 vs 157.7M QAM/s at 1024 sc); taps only on explicit request.
-    assert pallas_link._plan(1031, 1024, 1, False, 8) is None
-    tile, conv = pallas_link._plan(1031, 1024, 1, False, 8, allow_taps=True)
+    # Wide at passes=1: the 4-mult staging form fits at a small tile (the
+    # Karatsuba set is ~19 MB there, the 4-mult set ~12.8 MB).
+    assert pallas_link._plan(1031, 1024, 1, False, 8) == (32, "mm4")
+    # bf16x3 wide has no reduced-staging form -> off-kernel.
+    assert pallas_link._plan(1031, 1024, 3, False, 8) is None
+    # Long-guard shapes where even the 4-mult Toeplitz staging is too big
+    # still reach the tap-shift mode on explicit request (taps stages only
+    # the two DFT matrices).
+    assert pallas_link._plan(1500, 700, 1, False, 8) is None
+    tile, conv = pallas_link._plan(1500, 700, 1, False, 8, allow_taps=True)
     assert conv == "taps" and tile <= 256
-    assert pallas_link._plan(1031, 1024, 1, False, 999, allow_taps=True) is None
+    assert pallas_link._plan(30000, 29990, 1, False, 999, allow_taps=True) is None
     assert pallas_link._plan(30000, 29990, 1, False, 8, allow_taps=True) is None
 
     # BASELINE configs[4] shape: 1024 subcarriers, severe_multipath (order
     # 7), CP ratio 1.0 -> T = 1031: the spec carries the shrunken tile +
-    # taps mode and chunk rounding follows it.
+    # mm4 mode and chunk rounding follows it.
     wide = pl.LinkRunner(pl.prepare(SimulationConfig(
         num_symbols=1024 * 512, num_subcarriers=1024, constellation_order=64,
         channel_type=ChannelType.CUSTOM, channel_model="severe_multipath",
@@ -299,7 +305,7 @@ def test_plan_shrinks_for_wide_configs():
     assert pallas_link.supports(wide, interpret=True)
     gran = wide._pallas_chunk_multiple()
     spec = pallas_link._spec_for(wide, 2 * gran, True)
-    assert spec is not None and spec.conv == "taps" and spec.ctaps == 8
+    assert spec is not None and spec.conv == "mm4" and spec.ext == 7
     assert spec.tile == gran and spec.tiles == 2
 
 
@@ -371,3 +377,63 @@ def test_adaptive_spec_bits_cover_loaded_orders():
     assert spec.bits >= int(np.log2(int(orders.max())))
     # BER popcount must cover every XOR bit of the widest word.
     assert (1 << spec.bits) >= int(orders.max())
+
+
+def test_kernel_mm4_linear_chain(monkeypatch):
+    """Forced 4-mult (mm4, wide-link) mode decodes the chain exactly.
+
+    The mm4 kernel runs single-bf16 4-mult complex matmuls (the staging
+    form that fits 1024-subcarrier links); QPSK's huge decision distance
+    keeps the deterministic index-0 chain exact under bf16 rounding."""
+    monkeypatch.setattr(
+        pallas_link, "plan_for", lambda runner, passes=None: (256, "mm4")
+    )
+    runner = _runner(
+        constellation_order=4,
+        equalization_method=EqualizationMethod.ZF,
+        noise_type=NoiseType.NONE,
+        matmul_passes=1,
+    )
+    runner._interpret = True
+    r = runner.run(jax.random.PRNGKey(0))
+    assert r["hotpath_used"] == "pallas"
+    assert r["bit_errors"] == 0
+    assert r["symbol_errors"] == 0
+
+
+def test_kernel_mm4_matches_mm_stats(monkeypatch):
+    """mm4 and mm kernels agree on the deterministic chain's PAPR/carry."""
+    runner = _runner(
+        constellation_order=4,
+        equalization_method=EqualizationMethod.ZF,
+        noise_type=NoiseType.NONE,
+        matmul_passes=1,
+    )
+    stats_mm, carry_mm = _run_kernel(runner)
+
+    monkeypatch.setattr(
+        pallas_link, "plan_for", lambda runner, passes=None: (256, "mm4")
+    )
+    runner4 = _runner(
+        constellation_order=4,
+        equalization_method=EqualizationMethod.ZF,
+        noise_type=NoiseType.NONE,
+        matmul_passes=1,
+    )
+    stats_m4, carry_m4 = _run_kernel(runner4)
+    assert int(stats_m4["bit_errors"]) == int(stats_mm["bit_errors"]) == 0
+    np.testing.assert_allclose(
+        float(stats_m4["papr_peak"]), float(stats_mm["papr_peak"]), rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry_m4.re), np.asarray(carry_mm.re), atol=2e-2
+    )
+
+
+def test_plan_mm4_fits_1024sc():
+    """At 1024 subcarriers the 4-mult staging fits where Karatsuba cannot."""
+    assert pallas_link._plan(1024 + 15, 1024, 1, False, 16) == (32, "mm4")
+    # Karatsuba-only widths keep the mm plan.
+    assert pallas_link._plan(67, 64, 1, False, 4) == (1024, "mm")
+    # bf16x3 has no 4-mult staging form: wide + passes=3 stays off-kernel.
+    assert pallas_link._plan(1024 + 15, 1024, 3, False, 16) is None
