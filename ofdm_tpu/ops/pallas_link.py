@@ -60,15 +60,28 @@ from ofdm_tpu.ops.cplx import CArray
 
 _TILE = 1024  # OFDM symbols per grid step (narrow configs; see tile_for)
 
-# The Mosaic scoped-VMEM stack (16M hard limit on this backend) holds the
-# staged matrix operands PLUS every live (tile, TE) f32 temporary.  Measured
-# calibration points: a 512-sc passes=1 merged-conv kernel at tile=1024
-# OOM'd at 31.77M scoped (staged hi mats 4.8M -> ~13 live activation
-# planes); narrow 64-sc kernels fit at tile=1024 (~4M act).  _plan sizes
-# the stage set + grid tile against the budget: banded-Toeplitz merged
-# matmul ("mm") where it fits, tap-shift convolution ("taps", no (TE, T)
-# matrix staged) for forced-kernel wide links.
-_VMEM_SCOPED_LIMIT = 15_000_000
+# The Mosaic scoped-VMEM stack holds the staged matrix operands PLUS every
+# live (tile, TE) f32 temporary.  The *default* Mosaic limit is ~16 MB, but
+# this chip (v5e, 128 MiB physical VMEM) accepts a raised
+# CompilerParams(vmem_limit_bytes=...) — measured: an 80 MB-resident probe
+# kernel compiles and runs once the limit is set, and a 512-sc passes=1
+# kernel that OOM'd at 31.77 MB under the default limit fits.  _plan sizes
+# the stage set + grid tile against a budget below the raised limit
+# (headroom for Mosaic internals beyond the ~13-live-plane activation
+# estimate): banded-Toeplitz merged matmul ("mm") where it fits, the
+# reduced-staging "mm4" next, tap-shift convolution ("taps", no (TE, T)
+# matrix staged) for forced-kernel very wide links.
+_VMEM_SCOPED_LIMIT = 72_000_000
+_VMEM_COMPILER_LIMIT = 100 * 1024 * 1024  # vmem_limit_bytes for pallas_call
+# Staged-constant cap, separate from the total budget: a 51 MB stage set
+# (2048-sc mm4) measured 0.09-0.15M OFDM syms/s on hardware — ~6-10x slower
+# than the XLA path there (0.93M), consistent with Mosaic re-fetching the
+# grid-invariant operands from HBM once staging outgrows its hoisting
+# window — while a 38 MB set (1024-sc bf16x3 Karatsuba) runs fine at 1.5M
+# (vs 1.06M XLA) and a 19 MB set (1024-sc passes=1) at full rate (3.8M).
+# Cap between the calibration points; links whose smallest stage set
+# exceeds it run the XLA matmul hot path instead.
+_VMEM_STAGED_LIMIT = 40_000_000
 _ACT_ROWS_MM = 14  # measured ~13 live (tile, TE) f32 planes w/ AWGN + margin
 _ACT_ROWS_TAPS = 4  # the tap loop keeps shifted planes live as well
 _MAX_KERNEL_TAPS = 16
@@ -106,6 +119,8 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
         if conv == "mm4" and passes != 1:
             continue
         fixed = 2 * uu * staged
+        if fixed > _VMEM_STAGED_LIMIT:
+            continue
         for tile in (1024, 512, 256, 128, 64, 32):
             if fixed + 4 * act_rows * tile * TE <= _VMEM_SCOPED_LIMIT:
                 return tile, conv
@@ -853,6 +868,12 @@ def _fn_for_spec(spec: _Spec):
         # CPU test coverage via the Mosaic emulator (plain interpret=True
         # cannot lower prng_seed on cpu); tests/test_pallas_link.py.
         interpret=pltpu.InterpretParams() if spec.interpret else False,
+        # Raise Mosaic's ~16 MB default VMEM cap: this chip (v5e) has
+        # 128 MiB of VMEM, and the wide-link stage sets + large grid tiles
+        # _plan admits need it (see _VMEM_SCOPED_LIMIT).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_COMPILER_LIMIT
+        ),
     )
     num_syms = tiles * TILE
 

@@ -267,36 +267,39 @@ def test_supports_predicate():
 
 
 def test_plan_shrinks_for_wide_configs():
-    """Wide links drop the (T, T) conv matrices and shrink the grid tile.
+    """Wide links shrink the grid tile / drop staging against the budget.
 
-    Mosaic stages every used matrix operand in scoped VMEM (measured: 25.4M
-    for the 12 hi matrices at T=1031/passes=1 against the backend's 16M
-    scoped-stack limit — the compile OOM'd and the pod driver crashed).
-    _plan keeps narrow links on the MXU Toeplitz matmuls and switches wide
-    ones to the tap-shift convolution, which stages only the DFT matrices.
+    Mosaic stages every used matrix operand in scoped VMEM.  The plan
+    budget reflects the *raised* vmem_limit_bytes (v5e has 128 MiB VMEM;
+    an 80 MB-resident probe kernel compiles and runs once the limit is
+    set), so 1024-subcarrier links keep full Karatsuba matmuls and only
+    ~2048-subcarrier links need the reduced-staging mm4 form.
     """
     assert pallas_link._plan(67, 64, 1, False, 4) == (1024, "mm")
     assert pallas_link._plan(67, 64, 3, False, 4) == (1024, "mm")
-    # 512 sc: fits at a shrunken tile (measured: tile=1024 OOM'd the 16M
-    # scoped stack at 31.77M; tile=256 compiles and runs 6.2x the XLA path).
-    assert pallas_link._plan(523, 512, 1, False, 12) == (256, "mm")
-    # Wide at passes=1: the 4-mult staging form fits at a small tile (the
-    # Karatsuba set is ~19 MB there, the 4-mult set ~12.8 MB).
-    assert pallas_link._plan(1031, 1024, 1, False, 8) == (32, "mm4")
-    # bf16x3 wide has no reduced-staging form -> off-kernel.
-    assert pallas_link._plan(1031, 1024, 3, False, 8) is None
-    # Long-guard shapes where even the 4-mult Toeplitz staging is too big
-    # still reach the tap-shift mode on explicit request (taps stages only
-    # the two DFT matrices).
-    assert pallas_link._plan(1500, 700, 1, False, 8) is None
-    tile, conv = pallas_link._plan(1500, 700, 1, False, 8, allow_taps=True)
-    assert conv == "taps" and tile <= 256
+    assert pallas_link._plan(523, 512, 1, False, 12) == (1024, "mm")
+    # 1024 sc fits Karatsuba at tile=512 under the raised VMEM limit
+    # (stage set ~19 MB + 14 live (512, 1038) f32 planes ~30 MB).
+    assert pallas_link._plan(1031, 1024, 1, False, 8) == (512, "mm")
+    assert pallas_link._plan(1031, 1024, 3, False, 8) == (512, "mm")
+    # ~1536 sc: Karatsuba staging (~43 MB) exceeds the staged-constant cap
+    # (Mosaic stops hoisting the grid-invariant operands and re-fetches
+    # them from HBM — a 51 MB set measured 6-10x slower than XLA); the
+    # 4-mult form (2 staged matrices per constant) stays under it.
+    assert pallas_link._plan(1543, 1536, 1, False, 8) == (256, "mm4")
+    # ~2048 sc: even the 4-mult staging (~51 MB) crosses the cap ->
+    # off-kernel; the XLA matmul path measured 0.93M syms/s there vs the
+    # thrashing kernel's 0.09-0.15M.
+    assert pallas_link._plan(2063, 2048, 1, False, 16) is None
+    assert pallas_link._plan(2063, 2048, 3, False, 16) is None
+    # Beyond ~4k subcarriers even the tap-shift mode's DFT staging is too
+    # big: off-kernel entirely.
     assert pallas_link._plan(30000, 29990, 1, False, 999, allow_taps=True) is None
     assert pallas_link._plan(30000, 29990, 1, False, 8, allow_taps=True) is None
 
     # BASELINE configs[4] shape: 1024 subcarriers, severe_multipath (order
-    # 7), CP ratio 1.0 -> T = 1031: the spec carries the shrunken tile +
-    # mm4 mode and chunk rounding follows it.
+    # 7), CP ratio 1.0 -> T = 1031: the spec carries the Karatsuba mm plan
+    # and chunk rounding follows its tile.
     wide = pl.LinkRunner(pl.prepare(SimulationConfig(
         num_symbols=1024 * 512, num_subcarriers=1024, constellation_order=64,
         channel_type=ChannelType.CUSTOM, channel_model="severe_multipath",
@@ -305,7 +308,7 @@ def test_plan_shrinks_for_wide_configs():
     assert pallas_link.supports(wide, interpret=True)
     gran = wide._pallas_chunk_multiple()
     spec = pallas_link._spec_for(wide, 2 * gran, True)
-    assert spec is not None and spec.conv == "mm4" and spec.ext == 7
+    assert spec is not None and spec.conv == "mm" and spec.ext == 7
     assert spec.tile == gran and spec.tiles == 2
 
 
@@ -430,10 +433,16 @@ def test_kernel_mm4_matches_mm_stats(monkeypatch):
     )
 
 
-def test_plan_mm4_fits_1024sc():
-    """At 1024 subcarriers the 4-mult staging fits where Karatsuba cannot."""
-    assert pallas_link._plan(1024 + 15, 1024, 1, False, 16) == (32, "mm4")
-    # Karatsuba-only widths keep the mm plan.
+def test_plan_mm4_extends_width_past_karatsuba():
+    """The 4-mult staging form fits widths where Karatsuba cannot.
+
+    Under the raised VMEM limit Karatsuba covers up to ~1024 subcarriers;
+    mm4's 2-matrices-per-constant staging pushes the fused-kernel ceiling
+    to ~1536-1800 (the staged-constant cap — beyond it the kernel
+    measured slower than the XLA path, see _VMEM_STAGED_LIMIT)."""
+    assert pallas_link._plan(1536 + 7, 1536, 1, False, 8) == (256, "mm4")
+    # Karatsuba widths keep the mm plan.
     assert pallas_link._plan(67, 64, 1, False, 4) == (1024, "mm")
-    # bf16x3 has no 4-mult staging form: wide + passes=3 stays off-kernel.
-    assert pallas_link._plan(1024 + 15, 1024, 3, False, 16) is None
+    assert pallas_link._plan(1024 + 15, 1024, 1, False, 16) == (512, "mm")
+    # mm4 is a passes=1 form only; bf16x3 at mm4-only widths is off-kernel.
+    assert pallas_link._plan(1536 + 7, 1536, 3, False, 8) is None
