@@ -97,6 +97,35 @@ def main() -> int:
         ber = r["bit_error_rate"]
         hotpath, passes = r["hotpath_used"], r["matmul_passes_used"]
 
+    # Secondary (diagnostic, non-scoring): the BASELINE configs[4] wide
+    # link — 1024 subcarriers, severe_multipath, CP ratio 1.0 — on the
+    # raised-VMEM fused kernel.  Guarded so a relay hiccup on this extra
+    # compile can't zero the headline.
+    wide_rate = wide_ber = None
+    try:
+        wide_n = 1 << 23  # 8.4M OFDM symbols (51.5G bits)
+        wide_cfg = SimulationConfig(
+            num_symbols=1024 * wide_n,
+            num_subcarriers=1024,
+            constellation_order=64,
+            constellation_type=ConstellationType.QAM,
+            channel_type=ChannelType.CUSTOM,
+            channel_model="severe_multipath",
+            prefix_type=PrefixType.CYCLIC,
+            prefix_length_ratio=1.0,
+            equalization_method=EqualizationMethod.MMSE,
+            snr_db=30.0,
+            symbols_per_chunk=1 << 14,
+        )
+        wide_runner = LinkRunner(prepare(wide_cfg))
+        wide_runner.run(key, snr_db=25.0)  # compile
+        for rep in range(2):
+            rw = wide_runner.run(jax.random.fold_in(key, 200 + rep), snr_db=30.0)
+            wide_rate = max(wide_rate or 0.0, rw["ofdm_symbols_per_s"])
+            wide_ber = rw["bit_error_rate"]
+    except Exception:
+        pass
+
     # Correctness gate: BER at 30 dB must match the reference's (0.0190).
     # At 25.8G bits the Monte-Carlo CI is ~1e-6; allow 1.5e-3 for the
     # (documented) bf16-matmul/f32/per-chunk-power differences (measured
@@ -121,6 +150,10 @@ def main() -> int:
                 "run_s": round(run_s, 2) if run_s is not None else None,
                 "hotpath": hotpath,
                 "matmul_passes": passes,
+                "wide_1024sc_ofdm_symbols_per_s": (
+                    round(wide_rate, 1) if wide_rate is not None else None
+                ),
+                "wide_1024sc_ber_30db": wide_ber,
                 "backend": jax.default_backend(),
             }
         )

@@ -82,6 +82,12 @@ _VMEM_COMPILER_LIMIT = 100 * 1024 * 1024  # vmem_limit_bytes for pallas_call
 # Cap between the calibration points; links whose smallest stage set
 # exceeds it run the XLA matmul hot path instead.
 _VMEM_STAGED_LIMIT = 40_000_000
+# Grid-tile candidates, largest first.  Tiles past 1024 pay off once the
+# raised VMEM limit admits their activation planes: the 64-sc headline
+# config measured 97.4M OFDM syms/s marginal at tile=1024 vs 107.3M at
+# 4096 (~10% — per-grid-step overhead amortization; under the old 16 MB
+# default, 2048 measured *slower* from VMEM pressure and 4096 OOM'd).
+_TILE_LADDER = (4096, 2048, 1024, 512, 256, 128, 64, 32)
 _ACT_ROWS_MM = 14  # measured ~13 live (tile, TE) f32 planes w/ AWGN + margin
 _ACT_ROWS_TAPS = 4  # the tap loop keeps shifted planes live as well
 _MAX_KERNEL_TAPS = 16
@@ -121,7 +127,7 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
         fixed = 2 * uu * staged
         if fixed > _VMEM_STAGED_LIMIT:
             continue
-        for tile in (1024, 512, 256, 128, 64, 32):
+        for tile in _TILE_LADDER:
             if fixed + 4 * act_rows * tile * TE <= _VMEM_SCOPED_LIMIT:
                 return tile, conv
     return None
@@ -142,9 +148,14 @@ def plan_for(runner, passes: Optional[int] = None):
 
 
 def chunk_multiple(runner) -> int:
-    """Per-device chunk granularity keeping `runner` on the fused kernel."""
+    """Per-device chunk granularity keeping `runner` on the fused kernel.
+
+    Capped at 1024 so small runs/chunks stay on the kernel: when the plan
+    admits a larger grid tile, `_spec_for` upgrades to the largest ladder
+    tile that divides the chunk (e.g. the 2^17-symbol bench chunk runs
+    tile=4096; a 1024-symbol test chunk runs tile=1024)."""
     p = plan_for(runner)
-    return p[0] if p is not None else _TILE
+    return min(p[0], _TILE) if p is not None else _TILE
 
 
 _INV_2_24 = float(1.0 / 16777216.0)
@@ -381,9 +392,19 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
     s = runner.setup
     cfg = s.cfg
     plan = plan_for(runner)
-    if plan is None or num_syms % plan[0] != 0 or not supports(runner, interpret):
+    if plan is None or not supports(runner, interpret):
         return None
-    tile, conv = plan
+    tile_max, conv = plan
+    # The chunk arrives rounded to chunk_multiple() (<= 1024); take the
+    # largest ladder tile that both fits VMEM and divides the chunk, so
+    # large chunks amortize per-grid-step overhead (tile=4096 measured
+    # ~10% over 1024 at the 64-sc headline) while small runs stay on the
+    # kernel at a smaller tile.
+    tile = next(
+        (t for t in _TILE_LADDER if t <= tile_max and num_syms % t == 0), None
+    )
+    if tile is None:
+        return None
     if s.is_adaptive:
         mode = "aqam"
         order = 0

@@ -275,9 +275,9 @@ def test_plan_shrinks_for_wide_configs():
     set), so 1024-subcarrier links keep full Karatsuba matmuls and only
     ~2048-subcarrier links need the reduced-staging mm4 form.
     """
-    assert pallas_link._plan(67, 64, 1, False, 4) == (1024, "mm")
-    assert pallas_link._plan(67, 64, 3, False, 4) == (1024, "mm")
-    assert pallas_link._plan(523, 512, 1, False, 12) == (1024, "mm")
+    assert pallas_link._plan(67, 64, 1, False, 4) == (4096, "mm")
+    assert pallas_link._plan(67, 64, 3, False, 4) == (4096, "mm")
+    assert pallas_link._plan(523, 512, 1, False, 12) == (2048, "mm")
     # 1024 sc fits Karatsuba at tile=512 under the raised VMEM limit
     # (stage set ~19 MB + 14 live (512, 1038) f32 planes ~30 MB).
     assert pallas_link._plan(1031, 1024, 1, False, 8) == (512, "mm")
@@ -442,7 +442,7 @@ def test_plan_mm4_extends_width_past_karatsuba():
     measured slower than the XLA path, see _VMEM_STAGED_LIMIT)."""
     assert pallas_link._plan(1536 + 7, 1536, 1, False, 8) == (256, "mm4")
     # Karatsuba widths keep the mm plan.
-    assert pallas_link._plan(67, 64, 1, False, 4) == (1024, "mm")
+    assert pallas_link._plan(67, 64, 1, False, 4) == (4096, "mm")
     assert pallas_link._plan(1024 + 15, 1024, 1, False, 16) == (512, "mm")
     # mm4 is a passes=1 form only; bf16x3 at mm4-only widths is off-kernel.
     assert pallas_link._plan(1536 + 7, 1536, 3, False, 8) is None
