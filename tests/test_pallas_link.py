@@ -446,3 +446,25 @@ def test_plan_mm4_extends_width_past_karatsuba():
     assert pallas_link._plan(1024 + 15, 1024, 1, False, 16) == (512, "mm")
     # mm4 is a passes=1 form only; bf16x3 at mm4-only widths is off-kernel.
     assert pallas_link._plan(1536 + 7, 1536, 3, False, 8) is None
+
+
+def test_wide_sc_fde_on_kernel():
+    """SC-FDE at 512-1024 subcarriers runs the fused kernel.
+
+    SC-FDE stages one extra (n, n) IDFT for the RX back-end; under the old
+    16 MB default VMEM limit that pushed wide SC-FDE off-kernel entirely.
+    With the raised limit the Karatsuba mm plan fits (1024 sc: ~25 MB
+    staged at passes=1), and the spec upgrades the tile per the chunk."""
+    assert pallas_link._plan(523, 512, 1, True, 12) == (2048, "mm")
+    assert pallas_link._plan(1031, 1024, 1, True, 8) == (512, "mm")
+    wide = pl.LinkRunner(pl.prepare(SimulationConfig(
+        num_symbols=1024 * 1024, num_subcarriers=1024,
+        constellation_order=4, modulation_type=ModulationType.SC_OFDM,
+        channel_type=ChannelType.CUSTOM, channel_model="severe_multipath",
+        prefix_length_ratio=1.0, equalization_method=EqualizationMethod.ZF,
+        engine="planar", hotpath="pallas", matmul_passes=1,
+    )))
+    assert pallas_link.supports(wide, interpret=True)
+    spec = pallas_link._spec_for(wide, 1024, True)
+    assert spec is not None and spec.is_sc and spec.conv == "mm"
+    assert spec.tile == 512 and spec.tiles == 2
