@@ -103,6 +103,26 @@ def conv_matrix_merged(taps: np.ndarray, T: int) -> np.ndarray:
     return np.concatenate([T0, T1[T - E :, :]], axis=0) if E else T0
 
 
+def conv_rx_merged(
+    taps: np.ndarray, n: int, prefix: PrefixType, L: int
+) -> np.ndarray:
+    """Single (T+E, N) complex matrix folding conv INTO guard-strip + DFT.
+
+    For CP / no-prefix RX, guard removal is a pure row selection and the
+    orthonormal DFT is unitary, so Y = ([x | tail(prev)] @ C) @ R collapses
+    to one matmul with C @ R — and, because the stripped samples never
+    reach Y and the DFT is unitary, adding iid complex AWGN per *frequency
+    bin* after this matmul is distributed EXACTLY as adding it per time
+    sample before R (reference semantics, channel/models.py:46-62 +
+    modulation/models.py:41-55).  Not valid for ZP: overlap-add sums two
+    noisy samples into the head bins, correlating the folded noise.
+    """
+    assert prefix != PrefixType.ZERO
+    T = n + L
+    rr, ri = rx_matrix(n, prefix, L)
+    return conv_matrix_merged(taps, T) @ (rr + 1j * ri)
+
+
 @lru_cache(maxsize=None)
 def rx_matrix(
     n: int, prefix: PrefixType, L: int

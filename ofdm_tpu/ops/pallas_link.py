@@ -2,14 +2,23 @@
 
 One `pallas_call` executes an entire Monte-Carlo chunk for the OFDM link:
 per grid step it draws a tile of random constellation indices (hardware
-PRNG), maps them arithmetically, runs the three matmul-form link operators
-(ops/linops.py matrices: IDFT+guard with duplicated tail lanes, the merged
-(T+E, T) Toeplitz convolution — intra band plus the E = taps-1 previous-
-tail rows in ONE matmul — and guard-strip+DFT) on the MXU (bf16x3-split or
-single-pass bf16 — see
+PRNG), maps them arithmetically, runs the matmul-form link operators
+(ops/linops.py) on the MXU (bf16x3-split or single-pass bf16 — see
 SimulationConfig.matmul_passes), adds Box-Muller AWGN, equalizes, demaps,
 and accumulates BER/SER/PAPR partials — all without leaving VMEM
 (SURVEY §7.2 step 8, the "speed-of-light pass").
+
+For CP / no-prefix links the chain is TWO complex matmuls per symbol
+("fold" mode): IDFT+guard with duplicated tail lanes, then ONE (T+E, n)
+matrix that merges the banded Toeplitz convolution (intra band plus the
+E = taps-1 previous-tail rows), guard strip, and DFT
+(linops.conv_rx_merged) — AWGN moves to the frequency bins, where it is
+EXACTLY equidistributed because the strip+DFT is unitary on the kept
+samples.  ZP links keep the three-matmul chain (overlap-add sums two noisy
+samples per head bin, so folded noise would correlate).  Measured effect
+at 1024 subcarriers: 3.5 -> 6.7M OFDM syms/s (AWGN, MMSE), and the 64-sc
+headline BER lands exactly on the reference 0.01901 (one less bf16 matmul
+in the signal path).
 
 Supported configuration (falls back to the XLA hot path otherwise):
 fixed-mode square QAM or power-of-2 PSK, CAPACITY_BASED adaptive QAM
@@ -94,7 +103,7 @@ _MAX_KERNEL_TAPS = 16
 
 
 def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
-          allow_taps: bool = False):
+          allow_taps: bool = False, fold: bool = False):
     """(tile, conv_mode) whose scoped-VMEM stack estimate fits, or None.
 
     "taps" is tried only when `allow_taps`: the tap-shift kernel works at
@@ -109,15 +118,24 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
     E = max(0, min(n_taps - 1, T))  # merged-conv tail lanes (linops.ext_width)
     dft_taps = 2 * n * T + (n * n if is_sc else 0)
     dft_mm = n * (T + E) + n * T + (n * n if is_sc else 0)
+    # fold (CP / no-prefix): conv and RX collapse to ONE (T+E, n) matrix
+    # (linops.conv_rx_merged) — the (T+E, T) Toeplitz and (T, n) RX are
+    # never staged separately, and the kernel runs 2 complex matmuls per
+    # symbol instead of 3.
+    mm_staged = (
+        n * (T + E) + (T + E) * n + (n * n if is_sc else 0)
+        if fold
+        else (T + E) * T + dft_mm
+    )
     for conv, staged, act_rows, TE, uu in (
-        ("mm", (T + E) * T + dft_mm, _ACT_ROWS_MM, T + E, u),
+        ("mm", mm_staged, _ACT_ROWS_MM, T + E, u),
         # "mm4": the same merged-conv kernel with 4-mult complex matmuls
         # (yr = xr@r - xi@i, yi = xr@i + xi@r) instead of Karatsuba — one
         # more MXU pass per complex matmul, but only the (r, i) halves are
         # staged (2 matrices per constant instead of 3).  This is what lets
         # the fused kernel fit 1024-subcarrier links: Karatsuba's stage set
         # is ~19 MB there, the 4-mult set ~12.8 MB.  passes=1 only.
-        ("mm4", (T + E) * T + dft_mm, _ACT_ROWS_MM, T + E, 2),
+        ("mm4", mm_staged, _ACT_ROWS_MM, T + E, 2),
         ("taps", dft_taps, _ACT_ROWS_TAPS, T, u),
     ):
         if conv == "taps" and not (allow_taps and 0 < n_taps <= _MAX_KERNEL_TAPS):
@@ -144,7 +162,14 @@ def plan_for(runner, passes: Optional[int] = None):
         cfg.modulation_type == ModulationType.SC_OFDM,
         len(np.asarray(s.taps)),
         allow_taps=cfg.hotpath == "pallas",
+        fold=_fold_for(cfg),
     )
+
+
+def _fold_for(cfg) -> bool:
+    """Whether conv folds into RX (CP / no-prefix only — see
+    linops.conv_rx_merged for the noise-equivalence argument)."""
+    return cfg.prefix_type != PrefixType.ZERO
 
 
 def chunk_multiple(runner) -> int:
@@ -369,6 +394,7 @@ class _Spec(NamedTuple):
     tiles: int
     tile: int  # grid-step row count (_plan)
     conv: str  # "mm" (merged-Toeplitz matmul) | "taps" (tap-shift, wide links)
+    fold: bool  # conv folded into RX (CP/no-prefix): 2 matmuls, freq AWGN
     ctaps: int  # channel tap count (static loop bound; 0 in mm mode)
     ext: int  # mm mode: prev-tail lanes appended to the conv activation
     n: int
@@ -436,6 +462,7 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
         tiles=num_syms // tile,
         tile=tile,
         conv=conv,
+        fold=conv != "taps" and _fold_for(cfg),
         ctaps=len(np.asarray(s.taps)) if conv == "taps" else 0,
         ext=(
             linops.ext_width(len(np.asarray(s.taps)), cfg.num_subcarriers + s.prefix_length)
@@ -476,16 +503,25 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         # tail columns so the kernel can build the [x | tail(prev)] activation
         # with a sublane roll + lane select (no lane slicing).
         E = spec.ext
-        cm = linops.conv_matrix_merged(s.taps, T)
         fr, fi = ftx
         if E:
             fr = np.concatenate([fr, fr[:, T - E :]], axis=1)
             fi = np.concatenate([fi, fi[:, T - E :]], axis=1)
-        consts = (
-            _complex_matrix_consts(fr, fi, spec.passes, quad)
-            + _complex_matrix_consts(cm.real, cm.imag, spec.passes, quad)
-            + _complex_matrix_consts(*rxm, spec.passes, quad=quad)
-        )  # 3 complex matrices x (2 | 3 | 6) bf16 splits
+        if spec.fold:
+            # conv folded into RX: ONE (T+E, n) matrix replaces the
+            # (T+E, T) Toeplitz + (T, n) RX pair (linops.conv_rx_merged;
+            # AWGN moves to the frequency bins, exactly distributed).
+            cmrx = linops.conv_rx_merged(s.taps, n, cfg.prefix_type, L)
+            consts = _complex_matrix_consts(
+                fr, fi, spec.passes, quad
+            ) + _complex_matrix_consts(cmrx.real, cmrx.imag, spec.passes, quad)
+        else:
+            cm = linops.conv_matrix_merged(s.taps, T)
+            consts = (
+                _complex_matrix_consts(fr, fi, spec.passes, quad)
+                + _complex_matrix_consts(cm.real, cm.imag, spec.passes, quad)
+                + _complex_matrix_consts(*rxm, spec.passes, quad=quad)
+            )  # 3 complex matrices x (2 | 3 | 6) bf16 splits
     if spec.is_sc:
         # SC-FDE RX back-end: equalized bins -> time symbols via one IDFT.
         from ofdm_tpu.ops.dft import dft_matrix
@@ -655,6 +691,7 @@ def _fn_for_spec(spec: _Spec):
     is_sc = spec.is_sc
     conv_taps = spec.conv == "taps"
     quad = spec.conv == "mm4"  # 4-mult complex matmuls (wide links)
+    fold = spec.fold  # conv+RX as one matmul, AWGN per frequency bin
     ctaps = spec.ctaps
     ext = spec.ext  # mm mode: prev-tail lanes in the conv activation
     TE = T + ext  # width of the TX output / prev planes / carry rows
@@ -671,6 +708,11 @@ def _fn_for_spec(spec: _Spec):
         if conv_taps:
             (htr_ref, hti_ref, carry_re_ref, carry_im_ref, *refs) = args
             ftx_c, rx_c = refs[:ncm], refs[ncm : 2 * ncm]
+            rest = refs[2 * ncm :]
+        elif fold:
+            # conv folded into RX: [ftx | cmrx] only (cv_c IS the RX).
+            (carry_re_ref, carry_im_ref, *refs) = args
+            ftx_c, cv_c = refs[:ncm], refs[ncm : 2 * ncm]
             rest = refs[2 * ncm :]
         else:
             (carry_re_ref, carry_im_ref, *refs) = args
@@ -763,7 +805,9 @@ def _fn_for_spec(spec: _Spec):
         else:
             # One (TILE, TE) @ (TE, T) complex matmul: lanes < T are this
             # block, lanes >= T the previous block's tail (the E nonzero
-            # rows of the T1 band) — linops.conv_matrix_merged.
+            # rows of the T1 band) — linops.conv_matrix_merged.  In fold
+            # mode the staged matrix is (TE, n) conv_rx_merged, so the
+            # output is already the DFT'd, guard-stripped frequency block.
             if ext:
                 actr = jnp.where(lane_t, xr, prev_re[:])
                 acti = jnp.where(lane_t, xi, prev_im[:])
@@ -775,14 +819,20 @@ def _fn_for_spec(spec: _Spec):
         cout_im_ref[0, :] = xi[TILE - 1, :]
 
         # --- AWGN -------------------------------------------------------------
+        # fold mode adds the noise per frequency bin (width n, not T):
+        # the RX strip+DFT is unitary on the kept samples, so iid complex
+        # Gaussian noise commutes with it exactly (linops.conv_rx_merged),
+        # and mean power over the n kept bins equals the time-domain mean
+        # by Parseval (same per-tile estimator contract as before).
         if add_noise:
+            W = n if fold else T
             mp_ = jnp.mean(yr * yr + yi * yi)
             sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
-            rbits = pltpu.bitcast(pltpu.prng_random_bits((TILE, T)), jnp.int32)
+            rbits = pltpu.bitcast(pltpu.prng_random_bits((TILE, W)), jnp.int32)
             u1 = jnp.maximum(
                 ((rbits >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24, _INV_2_24
             )
-            u2 = _uniform24((TILE, T))
+            u2 = _uniform24((TILE, W))
             rad = jnp.sqrt(-2.0 * jnp.log(u1))
             # Box-Muller with one transcendental less: for uniform theta,
             # sign(sin) is independent of cos, so (cos, +-sqrt(1-cos^2))
@@ -795,8 +845,11 @@ def _fn_for_spec(spec: _Spec):
             yr = yr + sigma * rad * co
             yi = yi + sigma * rad * si_
 
-        # --- RX (guard strip + DFT) ---------------------------------------------
-        fr, fi_ = _cmatmul(yr, yi, tuple(c[:] for c in rx_c), passes, quad)
+        # --- RX (guard strip + DFT; a no-op in fold mode) -------------------------
+        if fold:
+            fr, fi_ = yr, yi
+        else:
+            fr, fi_ = _cmatmul(yr, yi, tuple(c[:] for c in rx_c), passes, quad)
 
         # --- equalize ---------------------------------------------------------------
         if method == EqualizationMethod.ZF:
@@ -850,7 +903,8 @@ def _fn_for_spec(spec: _Spec):
 
     # --- pallas_call wiring ---------------------------------------------------
     ncm_out = 2 if quad else (3 if passes == 1 else 6)
-    n_vmem_consts = ((2 if conv_taps else 3) + (1 if is_sc else 0)) * ncm_out + 5 + (5 if is_aqam else 0)
+    n_cmats = 2 if (conv_taps or fold) else 3
+    n_vmem_consts = (n_cmats + (1 if is_sc else 0)) * ncm_out + 5 + (5 if is_aqam else 0)
     n_smem = 5 if conv_taps else 3  # + tap re/im rows in taps mode
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = (
