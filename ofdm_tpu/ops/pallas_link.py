@@ -270,6 +270,55 @@ def _uniform24(shape):
     return ((b >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24
 
 
+# Quarter-range trig for the AWGN phase and the PSK encoder.  Mosaic's
+# full-range jnp.cos costs 2.59 ns/OFDM-symbol at the 64-sc headline
+# config — ~30% of the entire fused kernel (slope-measured 2026-08-18 by
+# timing-only kernel variants: base 8.74 ns/sym, cos removed 6.15, whole
+# noise block removed 4.96).  A uniform angle on the 2^24 grid splits
+# exactly into 2 quadrant bits + a 22-bit fraction t, and on the quarter
+# range cos/sin are degree-5 polynomials in t^2 (near-minimax Chebyshev
+# fits, max abs error 2.2e-10 / 2.7e-11 — two decades below f32 ulp, the
+# same accuracy class as the library cos).  The quadrant rotation is two
+# selects and two sign flips, so the whole (cos, sin) pair costs ~14 VPU
+# FMA/select ops with no range-reduction divide.
+_COS_Z = (0.9999999997799593, -1.2337005342705918, 0.253669322476019,
+          -0.020862687553451876, 0.0009177238850913491,
+          -2.3824535570835603e-05)
+_SINC_Z = (1.5707963267681528, -0.6459640955781804, 0.0796926037175787,
+           -0.004681657796259286, 0.0001602546914451647,
+           -3.4318293237942273e-06)
+
+
+def _horner(z, coefs):
+    acc = jnp.full_like(z, np.float32(coefs[-1]))
+    for c in coefs[-2::-1]:
+        acc = acc * z + np.float32(c)
+    return acc
+
+
+def _cossin_u24(u):
+    """(cos, sin) of theta = 2*pi*u/2^24 for int32 u in [0, 2^24).
+
+    Exact quadrant decomposition + quarter-range minimax polynomials (see
+    the coefficient comment above).  The angle grid is the same 24-bit
+    lattice the previous 2*pi*uniform24 -> jnp.cos path sampled, so the
+    noise distribution class is unchanged; sin comes from its own odd
+    polynomial t*P(t^2), which is *more* accurate near the axes than the
+    old +-sqrt(1-cos^2) (no cancellation lumpiness below 3e-4).
+    """
+    q = u >> 22
+    t = (u & 0x3FFFFF).astype(jnp.float32) * np.float32(2.0**-22)
+    z = t * t
+    c = _horner(z, _COS_Z)
+    s = t * _horner(z, _SINC_Z)
+    swap = (q & 1) == 1
+    c0 = jnp.where(swap, s, c)
+    s0 = jnp.where(swap, c, s)
+    c0 = jnp.where(((q ^ (q >> 1)) & 1) == 1, -c0, c0)
+    s0 = jnp.where(q >= 2, -s0, s0)
+    return c0, s0
+
+
 def psk_sector_arith(er, ei, order: int):
     """``round(angle(z) * M / 2pi) mod M`` without atan2.
 
@@ -629,10 +678,13 @@ def _encode_tile(spec: _Spec, raw, aq):
         si = ((m_side - 1) - 2.0 * r2) * scale
         return tx_idx, sr, si
     tx_idx = raw & (order - 1)
-    # PSK: table[i] = exp(2pi*j*inverse_gray(i)/M).
+    # PSK: table[i] = exp(2pi*j*inverse_gray(i)/M).  The angle 2pi*p/M is
+    # exactly p << (24 - log2 M) on the 24-bit lattice, so the encoder
+    # shares the quarter-range polynomial pair with the AWGN phase
+    # (coefficient f32 rounding puts p=0 exactly at 1+0j).
     p = _inv_gray_static(tx_idx, spec.bits) if spec.is_gray else tx_idx
-    ang = p.astype(jnp.float32) * np.float32(2.0 * np.pi / order)
-    return tx_idx, jnp.cos(ang), jnp.sin(ang)
+    cs, sn = _cossin_u24(p << (24 - spec.bits))
+    return tx_idx, cs, sn
 
 
 def _demap_tile(spec: _Spec, er, ei, aq):
@@ -832,16 +884,13 @@ def _fn_for_spec(spec: _Spec):
             u1 = jnp.maximum(
                 ((rbits >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24, _INV_2_24
             )
-            u2 = _uniform24((TILE, W))
+            b2 = pltpu.bitcast(pltpu.prng_random_bits((TILE, W)), jnp.int32)
             rad = jnp.sqrt(-2.0 * jnp.log(u1))
-            # Box-Muller with one transcendental less: for uniform theta,
-            # sign(sin) is independent of cos, so (cos, +-sqrt(1-cos^2))
-            # with a fair random sign (bit 0 of u1's draw, disjoint from its
-            # bits 8..31) is EXACTLY distributed as (cos, sin) — and sqrt is
-            # far cheaper than a second sin/cos polynomial on the VPU.
-            co = jnp.cos((2.0 * np.pi) * u2)
-            si_ = jnp.sqrt(jnp.maximum(1.0 - co * co, 0.0))
-            si_ = jnp.where((rbits & 1) == 0, si_, -si_)
+            # Box-Muller phase via the quarter-range polynomial pair
+            # (_cossin_u24): a uniform 24-bit angle, cos AND sin for ~14
+            # cheap VPU ops — the library cos alone was ~30% of the whole
+            # kernel (see the _COS_Z comment).
+            co, si_ = _cossin_u24((b2 >> 8) & 0xFFFFFF)
             yr = yr + sigma * rad * co
             yi = yi + sigma * rad * si_
 

@@ -58,11 +58,13 @@ key = jax.random.PRNGKey(42)
 z0, z1 = jax.jit(lambda k: prng.normal_planes(k, SHAPE))(key)
 res = {{"normal_planes": moments(z0, z1)}}
 
-# The fused link kernel's AWGN variant: random-sign sqrt(1-cos^2) instead of
-# a second transcendental (ops/pallas_link.py AWGN block) — reproduced in a
-# minimal kernel so a regression there is caught without a full bench run.
+# The fused link kernel's AWGN variant: Box-Muller phase from the
+# quarter-range polynomial pair (ops/pallas_link._cossin_u24) — reproduced
+# in a minimal kernel so a regression there is caught without a full bench
+# run.
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ofdm_tpu.ops.pallas_link import _cossin_u24
 _INV = float(1.0 / 16777216.0)
 
 def kern(seed_ref, z0_ref, z1_ref):
@@ -73,11 +75,8 @@ def kern(seed_ref, z0_ref, z1_ref):
     rbits = pltpu.bitcast(pltpu.prng_random_bits(z0_ref.shape), jnp.int32)
     u1 = jnp.maximum(((rbits >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV, _INV)
     b2 = pltpu.bitcast(pltpu.prng_random_bits(z0_ref.shape), jnp.int32)
-    u2 = ((b2 >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV
     rad = jnp.sqrt(-2.0 * jnp.log(u1))
-    co = jnp.cos((2.0 * np.pi) * u2)
-    si = jnp.sqrt(jnp.maximum(1.0 - co * co, 0.0))
-    si = jnp.where((rbits & 1) == 0, si, -si)
+    co, si = _cossin_u24((b2 >> 8) & 0xFFFFFF)
     z0_ref[:] = rad * co
     z1_ref[:] = rad * si
 
@@ -89,7 +88,7 @@ z0, z1 = pl.pallas_call(
     out_specs=(pl.BlockSpec((BLK, 128), lambda i: (i, 0)),) * 2,
     out_shape=(jax.ShapeDtypeStruct(SHAPE, jnp.float32),) * 2,
 )(jnp.asarray([123, 456], jnp.int32))
-res["random_sign_bm"] = moments(z0, z1)
+res["polyphase_bm"] = moments(z0, z1)
 print(json.dumps(res))
 """
 
@@ -116,7 +115,7 @@ def test_noise_path_moments_on_hardware():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res = _run_on_tpu(_MOMENTS_SCRIPT.format(repo=repo))
     # N = 2^24: sigma(mean)=2.4e-4, sigma(var)~3.5e-4, sigma(tail3)=1.3e-5.
-    for variant in ("normal_planes", "random_sign_bm"):
+    for variant in ("normal_planes", "polyphase_bm"):
         m = res[variant]
         for plane in ("z0", "z1"):
             assert abs(m[plane]["mean"]) < 1.5e-3, (variant, plane, m)
