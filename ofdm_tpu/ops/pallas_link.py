@@ -941,9 +941,17 @@ def _fn_for_spec(spec: _Spec):
         # stays below 2^24 (max = TILE*n*bits) — because the f32 tree
         # reduction is measurably faster than the int32 one; cross-tile
         # accumulation stays int32 in SMEM, so chunk counts remain exact.
-        pc = x & 1
-        for b in range(1, bits):
-            pc = pc + ((x >> b) & 1)
+        if bits >= 5:
+            # SWAR popcount: 10 vector ops regardless of width (≤16 bits)
+            # vs 1+3·(bits−1) for the naive chain.
+            t = x - ((x >> 1) & 0x5555)
+            t = (t & 0x3333) + ((t >> 2) & 0x3333)
+            t = (t + (t >> 4)) & 0x0F0F
+            pc = (t + (t >> 8)) & 0x1F if bits > 8 else t
+        else:
+            pc = x & 1
+            for b in range(1, bits):
+                pc = pc + ((x >> b) & 1)
         if TILE * n * bits < (1 << 24):
             berr = jnp.sum(pc.astype(jnp.float32)).astype(jnp.int32)
             serr = jnp.sum((x != 0).astype(jnp.float32)).astype(jnp.int32)
