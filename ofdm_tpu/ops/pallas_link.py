@@ -104,7 +104,7 @@ _MAX_KERNEL_TAPS = 16
 
 
 def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
-          allow_taps: bool = False, fold: bool = False):
+          allow_taps: bool = False, fold: bool = False, diag: bool = False):
     """(tile, conv_mode) whose scoped-VMEM stack estimate fits, or None.
 
     "taps" is tried only when `allow_taps`: the tap-shift kernel works at
@@ -129,6 +129,14 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
         else (T + E) * T + dft_mm
     )
     for conv, staged, act_rows, TE, uu in (
+        # "diag": ISI-free CP / flat links — the TX->conv->RX composite is
+        # exactly diag(H) (CP turns the truncated stream convolution
+        # circular once L >= K-1, and the orthonormal DFT diagonalizes a
+        # circulant), so the BER chain is one elementwise complex multiply
+        # by the staged h_freq rows.  The TX IDFT matmul remains ONLY to
+        # produce the time-domain plane for the PAPR / measured-power
+        # statistics; no conv/RX matrices are staged at all.
+        ("diag", n * T, _ACT_ROWS_MM, T, u),  # OFDM only (_diag_for)
         ("mm", mm_staged, _ACT_ROWS_MM, T + E, u),
         # "mm4": the same merged-conv kernel with 4-mult complex matmuls
         # (yr = xr@r - xi@i, yi = xr@i + xi@r) instead of Karatsuba — one
@@ -139,6 +147,8 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
         ("mm4", mm_staged, _ACT_ROWS_MM, T + E, 2),
         ("taps", dft_taps, _ACT_ROWS_TAPS, T, u),
     ):
+        if conv == "diag" and not diag:
+            continue
         if conv == "taps" and not (allow_taps and 0 < n_taps <= _MAX_KERNEL_TAPS):
             continue
         if conv == "mm4" and passes != 1:
@@ -164,7 +174,24 @@ def plan_for(runner, passes: Optional[int] = None):
         len(np.asarray(s.taps)),
         allow_taps=cfg.hotpath == "pallas",
         fold=_fold_for(cfg),
+        diag=_diag_for(cfg, s),
     )
+
+
+def _diag_for(cfg, s) -> bool:
+    """Whether the TX->conv->RX composite is exactly diagonal (= h_freq).
+
+    CP guard >= channel order makes the truncated stream convolution
+    (reference channel/models.py:46-62) act circularly on every kept
+    sample, and the orthonormal DFT pair diagonalizes a circulant; a
+    single-tap channel is diagonal under any fold-eligible prefix.  OFDM
+    only: SC-FDE symbols are time-domain, so its freq bins still need a
+    DFT matmul.  `_consts_for` re-verifies the identity numerically."""
+    if cfg.modulation_type == ModulationType.SC_OFDM or not _fold_for(cfg):
+        return False
+    K = len(np.asarray(s.taps))
+    L = s.prefix_length if cfg.prefix_type == PrefixType.CYCLIC else 0
+    return K - 1 <= L
 
 
 def _fold_for(cfg) -> bool:
@@ -516,7 +543,7 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
         ctaps=len(np.asarray(s.taps)) if conv == "taps" else 0,
         ext=(
             linops.ext_width(len(np.asarray(s.taps)), cfg.num_subcarriers + s.prefix_length)
-            if conv != "taps"
+            if conv not in ("taps", "diag")
             else 0
         ),
         n=cfg.num_subcarriers,
@@ -542,7 +569,26 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
     quad = spec.conv == "mm4"
     ftx = linops.tx_matrix(n, cfg.prefix_type, L, cfg.modulation_type)
     rxm = linops.rx_matrix(n, cfg.prefix_type, L)
-    if spec.conv == "taps":
+    if spec.conv == "diag":
+        # ISI-free CP / flat link: the BER chain is an elementwise multiply
+        # by the h_freq rows already staged for the equalizer — only the TX
+        # matrix is staged (its output feeds the PAPR / measured-power
+        # statistics alone).  Verify the diagonal identity numerically:
+        # the folded matrix's prev-tail rows must vanish and
+        # diag(F_tx @ C R) must equal h_freq.
+        cmrx = linops.conv_rx_merged(s.taps, n, cfg.prefix_type, L)
+        E = linops.ext_width(len(np.asarray(s.taps)), T)
+        if E:
+            tail = np.abs(cmrx[T:, :]).max()
+            assert tail < 1e-12, f"diag mode: ISI rows not zero ({tail})"
+        ftx_c = ftx[0] + 1j * ftx[1]
+        d = np.einsum("kt,tk->k", ftx_c, cmrx[:T, :])
+        h = np.asarray(s.h_freq, np.complex128)
+        # f32 tolerance: the kernel stages h_freq as f32 rows, so agreement
+        # beyond single precision is irrelevant (d itself is f64-exact).
+        assert np.allclose(d, h, rtol=1e-5, atol=1e-7), "diag != h_freq"
+        consts = _complex_matrix_consts(*ftx, spec.passes)
+    elif spec.conv == "taps":
         # Wide links: the convolution runs as tap-shift FMAs (no (T, T)
         # Toeplitz matrices staged in scoped VMEM); taps ride in SMEM.
         consts = _complex_matrix_consts(*ftx, spec.passes) + _complex_matrix_consts(
@@ -744,6 +790,7 @@ def _fn_for_spec(spec: _Spec):
     is_sc = spec.is_sc
     conv_taps = spec.conv == "taps"
     quad = spec.conv == "mm4"  # 4-mult complex matmuls (wide links)
+    diag = spec.conv == "diag"  # ISI-free: conv+RX == diag(h_freq) exactly
     fold = spec.fold  # conv+RX as one matmul, AWGN per frequency bin
     ctaps = spec.ctaps
     ext = spec.ext  # mm mode: prev-tail lanes in the conv activation
@@ -762,6 +809,12 @@ def _fn_for_spec(spec: _Spec):
             (htr_ref, hti_ref, carry_re_ref, carry_im_ref, *refs) = args
             ftx_c, rx_c = refs[:ncm], refs[ncm : 2 * ncm]
             rest = refs[2 * ncm :]
+        elif diag:
+            # Only the TX matrix is staged; the BER chain multiplies by the
+            # h_freq rows (unpacked below with the equalizer constants).
+            (carry_re_ref, carry_im_ref, *refs) = args
+            ftx_c = refs[:ncm]
+            rest = refs[ncm:]
         elif fold:
             # conv folded into RX: [ftx | cmrx] only (cv_c IS the RX).
             (carry_re_ref, carry_im_ref, *refs) = args
@@ -836,7 +889,17 @@ def _fn_for_spec(spec: _Spec):
                 prev_re[:] = jnp.where(first, cout_re_ref[0, :][None, :], pxr)
                 prev_im[:] = jnp.where(first, cout_im_ref[0, :][None, :], pxi)
 
-        if conv_taps:
+        if diag:
+            # ISI-free: the whole TX->conv->RX composite is diag(h_freq)
+            # (verified numerically in _consts_for), so the frequency-bin
+            # plane comes straight from the symbols — in f32, more accurate
+            # than the bf16 matmul chain it replaces.  The time plane xr/xi
+            # above still feeds the PAPR/measured-power statistics.
+            hre0 = hre_ref[:]
+            him0 = him_ref[:]
+            yr = sr * hre0 - si * him0
+            yi = sr * him0 + si * hre0
+        elif conv_taps:
             # Tap-shift FMA form of the same banded Toeplitz product
             # (linops.conv_matrices semantics): lane c of tap k reads
             # x[c - k], or the previous row's tail prev[T - k + c] when
@@ -970,7 +1033,7 @@ def _fn_for_spec(spec: _Spec):
 
     # --- pallas_call wiring ---------------------------------------------------
     ncm_out = 2 if quad else (3 if passes == 1 else 6)
-    n_cmats = 2 if (conv_taps or fold) else 3
+    n_cmats = 1 if diag else (2 if (conv_taps or fold) else 3)
     n_vmem_consts = (n_cmats + (1 if is_sc else 0)) * ncm_out + 5 + (5 if is_aqam else 0)
     n_smem = 5 if conv_taps else 3  # + tap re/im rows in taps mode
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -298,8 +298,9 @@ def test_plan_shrinks_for_wide_configs():
     assert pallas_link._plan(30000, 29990, 1, False, 8, allow_taps=True) is None
 
     # BASELINE configs[4] shape: 1024 subcarriers, severe_multipath (order
-    # 7), CP ratio 1.0 -> T = 1031: the spec carries the Karatsuba mm plan
-    # and chunk rounding follows its tile.
+    # 7), CP ratio 1.0 -> guard L=7 >= channel order, so the TX->conv->RX
+    # composite is exactly diagonal and the plan takes the single-matmul
+    # "diag" form (one staged TX matrix, BER chain elementwise).
     wide = pl.LinkRunner(pl.prepare(SimulationConfig(
         num_symbols=1024 * 512, num_subcarriers=1024, constellation_order=64,
         channel_type=ChannelType.CUSTOM, channel_model="severe_multipath",
@@ -308,8 +309,19 @@ def test_plan_shrinks_for_wide_configs():
     assert pallas_link.supports(wide, interpret=True)
     gran = wide._pallas_chunk_multiple()
     spec = pallas_link._spec_for(wide, 2 * gran, True)
-    assert spec is not None and spec.conv == "mm" and spec.ext == 7
+    assert spec is not None and spec.conv == "diag" and spec.ext == 0
     assert spec.tile == gran and spec.tiles == 2
+
+    # With the guard SHORTER than the channel order the stream has real
+    # ISI, so the diag collapse is invalid and the plan stays on the
+    # merged-Toeplitz mm form (prev-tail lanes in the activation).
+    isi = pl.LinkRunner(pl.prepare(SimulationConfig(
+        num_symbols=1024 * 512, num_subcarriers=1024, constellation_order=64,
+        channel_type=ChannelType.CUSTOM, channel_model="severe_multipath",
+        prefix_length_ratio=0.34, engine="planar", hotpath="pallas",
+    )))
+    spec_isi = pallas_link._spec_for(isi, 2 * isi._pallas_chunk_multiple(), True)
+    assert spec_isi is not None and spec_isi.conv == "mm" and spec_isi.ext > 0
 
 
 def test_tap_shift_conv_equals_toeplitz_matmuls():
@@ -468,3 +480,31 @@ def test_wide_sc_fde_on_kernel():
     spec = pallas_link._spec_for(wide, 1024, True)
     assert spec is not None and spec.is_sc and spec.conv == "mm"
     assert spec.tile == 512 and spec.tiles == 2
+
+
+def test_diag_mode_headline_and_exactness():
+    """ISI-free CP links collapse TX->conv->RX to diag(h_freq).
+
+    The published-campaign headline cell (64 sc, Lin-Phoong P2 = 4 taps,
+    CP ratio 1.0 -> L = 3 = channel order) satisfies L >= K-1, so the
+    kernel's BER chain is one elementwise complex multiply; _consts_for
+    verifies diag == h_freq numerically at build time.  No noise + ZF
+    must be bit-exact through the collapsed chain.
+    """
+    runner = _runner()  # headline shape, MMSE
+    plan = pallas_link.plan_for(runner)
+    assert plan is not None and plan[1] == "diag"
+
+    exact = _runner(
+        noise_type=NoiseType.NONE,
+        equalization_method=EqualizationMethod.ZF,
+        prefix_length_ratio=0.34,  # guard < channel order: real ISI, no diag
+    )
+    assert pallas_link.plan_for(exact)[1] == "mm"
+
+    exact2 = _runner(
+        noise_type=NoiseType.NONE, equalization_method=EqualizationMethod.ZF
+    )
+    assert pallas_link.plan_for(exact2)[1] == "diag"
+    stats, _ = _run_kernel(exact2)
+    assert int(stats["bit_errors"]) == 0 and int(stats["symbol_errors"]) == 0
