@@ -30,6 +30,35 @@ from ofdm_tpu.utils.visualization import (  # noqa: E402
     plot_combined_constellation_analysis,
 )
 
+# Output-format parity spec for the BER curve PNG.  Downstream consumers of
+# the reference's figures (docs mirroring, report LaTeX) expect this exact
+# look, so the knobs live here as data rather than inline styling calls;
+# values were transcribed from the rendered reference output (main.py:146-194).
+BER_CURVE_STYLE: Dict[str, Any] = {
+    "figsize": (10, 6),
+    "line": {"marker": "o", "linestyle": "-", "color": "blue", "label": "BER vs SNR"},
+    "xlabel": ("SNR (dB)", 12),
+    "ylabel": ("Bit Error Rate (BER)", 12),
+    "title": ("BER vs SNR Performance", 14),
+    "grid": {"which": "both", "linestyle": "--", "linewidth": 0.5, "alpha": 0.7},
+    "legend_fontsize": 11,
+    "dpi": 150,
+}
+
+
+def _render_ber_curve(snrs, bers, style: Dict[str, Any] = BER_CURVE_STYLE):
+    fig, ax = plt.subplots(figsize=style["figsize"])
+    ax.semilogy(snrs, bers, **style["line"])
+    for setter, key in ((ax.set_xlabel, "xlabel"), (ax.set_ylabel, "ylabel")):
+        text, size = style[key]
+        setter(text, fontsize=size)
+    title, title_size = style["title"]
+    ax.set_title(title, fontsize=title_size, fontweight="bold")
+    ax.grid(True, **style["grid"])
+    ax.legend(fontsize=style["legend_fontsize"])
+    fig.tight_layout()
+    return fig
+
 
 class ResultsManager:
     """CSV + image output management (reference main.py:19-194 semantics)."""
@@ -159,19 +188,9 @@ class ResultsManager:
             if results
             else "ber_vs_snr.png"
         )
-        # Cosmetic parameters mirror the reference figure exactly
-        # (main.py:180-188) so downstream consumers of the PNGs see
-        # identical output.
-        fig, ax = plt.subplots(figsize=(10, 6))
-        ax.semilogy(snrs, bers, marker="o", linestyle="-", label="BER vs SNR", color="blue")
-        ax.set_xlabel("SNR (dB)", fontsize=12)
-        ax.set_ylabel("Bit Error Rate (BER)", fontsize=12)
-        ax.set_title("BER vs SNR Performance", fontsize=14, fontweight="bold")
-        ax.grid(True, which="both", linestyle="--", linewidth=0.5, alpha=0.7)
-        ax.legend(fontsize=11)
-        fig.tight_layout()
+        fig = _render_ber_curve(snrs, bers)
         filepath = self.images_dir / filename
-        fig.savefig(filepath, dpi=150)
+        fig.savefig(filepath, dpi=BER_CURVE_STYLE["dpi"])
         plt.close(fig)
         self._mirror_to_docs(filepath)
         return filepath
