@@ -196,6 +196,17 @@ class SimulationConfig:
     # order <= 256, PSK order <= 32) so the bf16 perturbation stays an
     # order of magnitude below the slicing threshold, else 3.
     matmul_passes: object = "auto"
+    # PAPR sampling stride for the diag-mode fused kernel.  In diag mode
+    # (ISI-free CP links) the time-domain TX plane feeds ONLY the PAPR
+    # statistic — noise power is measured on the frequency plane (Parseval)
+    # and the BER chain is elementwise — so the kernel computes it on every
+    # S-th grid tile: PAPR becomes a strided-sample estimator over >= one
+    # tile (thousands of OFDM symbols on real runs; small runs have one
+    # tile and stay exact), while wide (1024-sc) links drop their dominant
+    # MXU cost.  0 = auto (32 in diag mode); 1 = exact (every tile); must
+    # be a power of two.  `results["papr_sample_fraction"]` records the
+    # realized fraction; bit/symbol-error counts are stride-invariant.
+    papr_stride: int = 0
 
     # Fields declared as str-Enums accept plain strings ("WATERFILLING") for
     # ergonomic direct construction; __post_init__ coerces them so downstream
@@ -245,6 +256,10 @@ class SimulationConfig:
             raise ValueError("num_subcarriers must be positive.")
         if not _is_power_of_two(self.constellation_order):
             raise ValueError("constellation_order must be a power of 2.")
+        if self.papr_stride < 0 or (
+            self.papr_stride > 1 and not _is_power_of_two(self.papr_stride)
+        ):
+            raise ValueError("papr_stride must be 0 (auto) or a power of 2.")
 
     # -- reference-compatible JSON loading ---------------------------------
     @classmethod

@@ -721,6 +721,13 @@ class LinkRunner:
             "allocated_power": power_allocation.tolist(),
             # metrics
             "papr_db": mt.papr_db(papr_peak, papr_sum, papr_count),
+            # Fraction of time samples the PAPR statistic saw: 1.0 on the
+            # XLA paths; < 1.0 when the diag-mode kernel samples the TX
+            # plane every papr_stride-th tile (config.papr_stride).  Error
+            # counts are always over ALL symbols regardless.
+            "papr_sample_fraction": (
+                papr_count / (B * s.block_length) if B else 1.0
+            ),
             "bit_errors": totals["bit_errors"],
             "symbol_errors": totals["symbol_errors"],
             "total_bits": s.total_bits,

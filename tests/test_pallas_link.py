@@ -508,3 +508,75 @@ def test_diag_mode_headline_and_exactness():
     assert pallas_link.plan_for(exact2)[1] == "diag"
     stats, _ = _run_kernel(exact2)
     assert int(stats["bit_errors"]) == 0 and int(stats["symbol_errors"]) == 0
+
+
+def test_papr_stride_samples_tx_plane_without_touching_errors():
+    """Strided diag PAPR: error counts are bit-identical across strides,
+    papr_count reflects the sampled tiles, and (with the emulator's
+    deterministic all-zero PRNG making every tile identical) the sampled
+    peak/mean equal the full-sampling values exactly."""
+    num_syms = 8192  # tile=4096 -> 2 grid steps
+
+    def run(stride):
+        runner = _runner(
+            num_symbols=64 * num_syms,
+            noise_type=NoiseType.NONE,
+            equalization_method=EqualizationMethod.ZF,
+            papr_stride=stride,
+        )
+        out = pallas_link.make_pallas_chunk_lifted(
+            runner, num_syms, interpret=True
+        )
+        assert out is not None
+        fn, consts, spec = out
+        assert spec.conv == "diag" and spec.pstride == stride
+        assert spec.tiles == 2
+        stats, carry = fn(
+            jax.random.PRNGKey(0),
+            runner._init_carry(),
+            jnp.float32(30.0),
+            jnp.ones(64, jnp.float32),
+            consts,
+        )
+        return stats, carry, spec
+
+    full, carry_full, spec_full = run(1)
+    half, carry_half, spec_half = run(2)
+
+    # BER chain untouched by the stride.
+    assert int(full["bit_errors"]) == int(half["bit_errors"]) == 0
+    assert int(full["symbol_errors"]) == int(half["symbol_errors"]) == 0
+
+    # papr_count: all tiles vs ceil(2/2) = 1 tile.
+    T = spec_full.T
+    assert float(full["papr_count"]) == 2 * 4096 * T
+    assert float(half["papr_count"]) == 1 * 4096 * T
+
+    # Identical tiles (zeroed PRNG) -> identical peak and per-sample mean.
+    np.testing.assert_allclose(
+        float(half["papr_peak"]), float(full["papr_peak"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(half["papr_sum"]) / float(half["papr_count"]),
+        float(full["papr_sum"]) / float(full["papr_count"]),
+        rtol=1e-6,
+    )
+    # The vestigial diag carry is still written (last sampled tile's row).
+    np.testing.assert_allclose(
+        np.asarray(carry_half.re), np.asarray(carry_full.re), rtol=1e-6
+    )
+
+
+def test_papr_sample_fraction_results_key():
+    """LinkRunner.run exposes the realized PAPR sampling fraction (1.0 on
+    non-diag / XLA paths)."""
+    cfg = SimulationConfig(
+        num_symbols=64 * 64,
+        num_subcarriers=64,
+        constellation_order=16,
+        channel_model="Lin-Phoong_P1",
+        snr_db=20.0,
+        hotpath="matmul",
+    )
+    r = pl.LinkRunner(pl.prepare(cfg)).run(jax.random.PRNGKey(0))
+    assert r["papr_sample_fraction"] == pytest.approx(1.0)
