@@ -103,7 +103,7 @@ def main() -> int:
     # compile can't zero the headline.
     wide_rate = wide_ber = None
     try:
-        wide_n = 1 << 23  # 8.4M OFDM symbols (51.5G bits)
+        wide_n = 1 << 25  # 33.6M OFDM symbols (206G bits)
         wide_cfg = SimulationConfig(
             num_symbols=1024 * wide_n,
             num_subcarriers=1024,
@@ -115,7 +115,7 @@ def main() -> int:
             prefix_length_ratio=1.0,
             equalization_method=EqualizationMethod.MMSE,
             snr_db=30.0,
-            symbols_per_chunk=1 << 14,
+            symbols_per_chunk=1 << 17,
         )
         wide_runner = LinkRunner(prepare(wide_cfg))
         wide_runner.run(key, snr_db=25.0)  # compile
