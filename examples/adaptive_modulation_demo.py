@@ -4,6 +4,10 @@ Equivalent of the reference's examples/adaptive_modulation_demo.py: run the
 same channel/SNR grid in both modes and compare BER and spectral efficiency.
 """
 
+# Allow running straight from a source checkout (no install needed).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import numpy as np
 

@@ -4,6 +4,10 @@ Equivalent of the reference's examples/configurable_simulation_demo.py: load
 a settings JSON, fan out one simulation per SNR, print the curve.
 """
 
+# Allow running straight from a source checkout (no install needed).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 
 from ofdm_tpu.config import SimulationConfig

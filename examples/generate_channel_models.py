@@ -4,6 +4,10 @@ Equivalent of the reference's examples/generate_channel_models.py:11-143
 (same channel values; see ofdm_tpu/models/channels.py).
 """
 
+# Allow running straight from a source checkout (no install needed).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from ofdm_tpu.models import channels as chm
 
 

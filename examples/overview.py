@@ -8,6 +8,10 @@ every stage.  The packaged pipeline (ofdm_tpu.pipeline) fuses exactly these
 stages under jit.
 """
 
+# Allow running straight from a source checkout (no install needed).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -3,6 +3,10 @@
 Equivalent of the reference's examples/plot_adaptive_constellation_demo.py.
 """
 
+# Allow running straight from a source checkout (no install needed).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 
 from ofdm_tpu.config import (

@@ -3,6 +3,10 @@
 Equivalent of the reference's examples/plot_waterfilling_diagram.py.
 """
 
+# Allow running straight from a source checkout (no install needed).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from ofdm_tpu.models import channels as chm
 from ofdm_tpu.ops import allocate as al
 from ofdm_tpu.utils import plot_water_level_diagram

@@ -9,6 +9,10 @@ just takes num_devices times longer.
 Defaults are sized for a quick demo; pass --full for the 10^9-symbol run.
 """
 
+# Allow running straight from a source checkout (no install needed).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

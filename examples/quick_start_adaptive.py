@@ -4,6 +4,10 @@ Equivalent of the reference's examples/quick_start_adaptive.py: run one
 CAPACITY_BASED point with waterfilling and print the per-subcarrier orders.
 """
 
+# Allow running straight from a source checkout (no install needed).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 
 from ofdm_tpu.config import (

@@ -6,6 +6,10 @@ reference implementation: uniform 74.9458 / waterfilling 78.2718 bits/use
 (+4.44%), water level flat to ~1e-12.
 """
 
+# Allow running straight from a source checkout (no install needed).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 from ofdm_tpu.models import channels as chm

@@ -6,6 +6,10 @@ ofdm_tpu/experiments/noise_bump.py.  Outputs BER curves, per-SNR constellation
 diagrams, and CSV summaries in the reference's layout.
 """
 
+# Allow running straight from a source checkout (no install needed).
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from ofdm_tpu.experiments import run_noise_bump_experiment
 
 
