@@ -46,7 +46,8 @@ BER_CURVE_STYLE: Dict[str, Any] = {
 }
 
 
-def _render_ber_curve(snrs, bers, style: Dict[str, Any] = BER_CURVE_STYLE):
+def _render_ber_curve(snrs, bers):
+    style = BER_CURVE_STYLE
     fig, ax = plt.subplots(figsize=style["figsize"])
     ax.semilogy(snrs, bers, **style["line"])
     for setter, key in ((ax.set_xlabel, "xlabel"), (ax.set_ylabel, "ylabel")):
