@@ -50,6 +50,7 @@ BER gate pins this.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -488,6 +489,11 @@ class _Spec(NamedTuple):
     # PAPR sampling stride (diag mode only; 1 elsewhere): the TX time plane
     # is computed on every pstride-th grid tile.  See config.papr_stride.
     pstride: int = 1
+    # Profiling-only block ablation (OFDM_TPU_KERNEL_ABLATE env var, comma
+    # separated: notx, nopapr, nodemap, nored, noacc).  Produces WRONG statistics
+    # by design — timing attribution only (tools/kernel_attrib.py).  Part
+    # of the spec so ablated executables never alias real ones.
+    ablate: str = ""
 
     @property
     def T(self) -> int:
@@ -564,6 +570,7 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
         # (64sc: 216.6M stride-1 -> 238.5M stride-8 -> 246.5M stride-32
         # marginal; wide 1024sc AWGN: 90.6 -> 64.9 -> ~52 ns/sym).
         pstride=(cfg.papr_stride or 32) if conv == "diag" else 1,
+        ablate=os.environ.get("OFDM_TPU_KERNEL_ABLATE", ""),
     )
 
 
@@ -870,8 +877,35 @@ def _fn_for_spec(spec: _Spec):
         # estimator — papr_count (host side) reflects the sampled tiles —
         # and wide diag kernels shed their dominant MXU cost; error counts
         # are bit-identical across strides (tests/test_pallas_link.py).
+        # Profiling-only ablations (spec.ablate; see _Spec) — each removes a
+        # whole block's dependency chain so its cost can be attributed.
+        abl = frozenset(filter(None, spec.ablate.split(",")))
+        abl_notx = "notx" in abl and diag  # other modes need the TX plane
+        abl_nopapr = "nopapr" in abl
+        abl_nodemap = "nodemap" in abl
+        abl_nored = "nored" in abl
+        # noacc: compute the per-tile error reductions but store them only
+        # on tile 0 (no cross-step SMEM read-modify-write) — separates the
+        # reduction arithmetic's cost from the accumulation serialization.
+        abl_noacc = "noacc" in abl
+
+        # mm-mode lane mask: data lanes (< T) vs duplicated ext tail lanes.
+        # Used by both the PAPR masking and the conv activation select.
+        lane_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE, TE), 1) < T
+            if ext
+            else None
+        )
         strided_papr = diag and spec.pstride > 1
-        if strided_papr:
+        if abl_notx:
+            strided_papr = True  # skip the unconditional TX/carry writes below
+            @pl.when(i == 0)
+            def _():
+                pmax_ref[0, 0] = 0.0
+                psum_ref[0, 0] = 0.0
+                cout_re_ref[0, :] = jnp.zeros((TE,), jnp.float32)
+                cout_im_ref[0, :] = jnp.zeros((TE,), jnp.float32)
+        elif strided_papr:
             @pl.when((i & (spec.pstride - 1)) == 0)
             def _():
                 xr, xi = _cmatmul(
@@ -893,20 +927,25 @@ def _fn_for_spec(spec: _Spec):
         else:
             xr, xi = _cmatmul(sr, si, tuple(c[:] for c in ftx_c), passes, quad)
 
-            # PAPR partials (duplicated ext lanes masked; power >= 0 so a 0
-            # fill is exact for both the max and the sum).
-            pwr = xr * xr + xi * xi
-            if ext:
-                lane_t = jax.lax.broadcasted_iota(jnp.int32, (TILE, TE), 1) < T
-                pwr = jnp.where(lane_t, pwr, 0.0)
-            @pl.when(i == 0)
-            def _():
-                pmax_ref[0, 0] = jnp.max(pwr)
-                psum_ref[0, 0] = jnp.sum(pwr)
-            @pl.when(i != 0)
-            def _():
-                pmax_ref[0, 0] = jnp.maximum(pmax_ref[0, 0], jnp.max(pwr))
-                psum_ref[0, 0] = psum_ref[0, 0] + jnp.sum(pwr)
+            if abl_nopapr:
+                @pl.when(i == 0)
+                def _():
+                    pmax_ref[0, 0] = 0.0
+                    psum_ref[0, 0] = 0.0
+            else:
+                # PAPR partials (duplicated ext lanes masked; power >= 0 so
+                # a 0 fill is exact for both the max and the sum).
+                pwr = xr * xr + xi * xi
+                if ext:
+                    pwr = jnp.where(lane_t, pwr, 0.0)
+                @pl.when(i == 0)
+                def _():
+                    pmax_ref[0, 0] = jnp.max(pwr)
+                    psum_ref[0, 0] = jnp.sum(pwr)
+                @pl.when(i != 0)
+                def _():
+                    pmax_ref[0, 0] = jnp.maximum(pmax_ref[0, 0], jnp.max(pwr))
+                    psum_ref[0, 0] = psum_ref[0, 0] + jnp.sum(pwr)
 
         # --- convolution: merged intra + previous-symbol band ----------------
         # previous rows: roll down one sublane; row 0 <- carry
@@ -1032,7 +1071,14 @@ def _fn_for_spec(spec: _Spec):
         aq_dec = (
             (mrow_ref[:], logm_ref[:], invs_ref[:]) if is_aqam else None
         )
-        rx_idx = _demap_tile(spec, er, ei, aq_dec)
+        rx_idx = tx_idx if abl_nodemap else _demap_tile(spec, er, ei, aq_dec)
+
+        if abl_nored:
+            @pl.when(i == 0)
+            def _():
+                be_ref[0, 0] = 0
+                se_ref[0, 0] = 0
+            return
 
         x = tx_idx ^ rx_idx
         # Accumulate the per-symbol popcount plane first, then reduce ONCE.
@@ -1059,6 +1105,13 @@ def _fn_for_spec(spec: _Spec):
         else:
             berr = jnp.sum(pc, dtype=jnp.int32)
             serr = jnp.sum((x != 0).astype(jnp.int32))
+
+        if abl_noacc:
+            @pl.when(i == 0)
+            def _():
+                be_ref[0, 0] = berr
+                se_ref[0, 0] = serr
+            return
 
         @pl.when(i == 0)
         def _():

@@ -31,6 +31,7 @@ Reference quirks deliberately preserved (SURVEY §3.2):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -746,6 +747,11 @@ class LinkRunner:
             # per MXU matmul (1 = ~6e-3 rel err bf16, 3 = f32-grade bf16x3).
             "hotpath_used": hotpath_used,
             "matmul_passes_used": matmul_passes_used,
+            # Profiling-only kernel ablation (OFDM_TPU_KERNEL_ABLATE):
+            # non-empty means the statistics above are intentionally WRONG
+            # (tools/kernel_attrib.py); echoed so no ablated run can pass
+            # as a real one.
+            "kernel_ablation": os.environ.get("OFDM_TPU_KERNEL_ABLATE", ""),
             "constellation_plot": None,
         }
         if render_constellation:

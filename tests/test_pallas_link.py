@@ -580,3 +580,27 @@ def test_papr_sample_fraction_results_key():
     )
     r = pl.LinkRunner(pl.prepare(cfg)).run(jax.random.PRNGKey(0))
     assert r["papr_sample_fraction"] == pytest.approx(1.0)
+
+
+def test_ablation_knobs_are_spec_keyed_and_inert_by_default(monkeypatch):
+    """OFDM_TPU_KERNEL_ABLATE is a profiling-only tool: the default env
+    yields ablate="" (production executables untouched); a set knob lands
+    in the spec (so ablated executables never alias real ones) and zeroes
+    the corresponding statistic."""
+    monkeypatch.delenv("OFDM_TPU_KERNEL_ABLATE", raising=False)
+    runner = _runner(noise_type=NoiseType.NONE,
+                     equalization_method=EqualizationMethod.ZF)
+    spec = pallas_link._spec_for(runner, 1024, True)
+    assert spec.ablate == ""
+
+    monkeypatch.setenv("OFDM_TPU_KERNEL_ABLATE", "nored")
+    spec2 = pallas_link._spec_for(runner, 1024, True)
+    assert spec2.ablate == "nored" and spec2 != spec
+    stats, _ = _run_kernel(runner)
+    assert int(stats["bit_errors"]) == 0 and int(stats["symbol_errors"]) == 0
+
+    # notx (diag-only) still runs and zeroes the PAPR outputs.
+    monkeypatch.setenv("OFDM_TPU_KERNEL_ABLATE", "notx")
+    stats, carry = _run_kernel(runner)
+    assert float(stats["papr_sum"]) == 0.0
+    assert np.all(np.asarray(carry.re) == 0.0)
