@@ -37,6 +37,13 @@ def main(argv=None) -> int:
         "--no-shard", action="store_true", help="run single-device (no mesh)"
     )
     parser.add_argument(
+        "--no-grid",
+        action="store_true",
+        help="dispatch each SNR point separately instead of scanning the "
+        "whole grid inside one executable (finer-grained CSV resume, "
+        "one ~140 ms relay round trip per point)",
+    )
+    parser.add_argument(
         "--resume",
         action="store_true",
         help="skip (simulation, snr) points already present in the BER CSV",
@@ -105,6 +112,7 @@ def main(argv=None) -> int:
         sharded=not args.no_shard,
         collect_symbols=args.collect_symbols,
         results_manager=manager,
+        grid=not args.no_grid,
     )
 
     # Constellation plots + BER curve (SimulationRunner.process_results,

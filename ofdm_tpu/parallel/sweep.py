@@ -40,7 +40,7 @@ from jax import shard_map
 from ofdm_tpu.config import SimulationConfig
 from ofdm_tpu.ops import cplx
 from ofdm_tpu.parallel.mesh import MC_AXIS, make_mesh
-from ofdm_tpu.pipeline import LinkRunner, LinkSetup, prepare
+from ofdm_tpu.pipeline import LinkRunner, LinkSetup, prepare, run_grid_multi
 
 # Shared executables for the sharded fused-kernel path, keyed on
 # (kernel spec, mesh, chunk layout) — mirrors pipeline._SHARED_JIT so a
@@ -280,6 +280,158 @@ class ShardedLinkRunner(LinkRunner):
     def _init_carry(self):
         return self._init_carry_sharded()
 
+    def _grid_scan(self, num_points: int, num_chunks: int, num_syms: int):
+        """Sharded whole-grid executable: SNR points x chunks inside shard_map.
+
+        One dispatch for the entire sweep; collectives fire once per run
+        (stacked (num_points, num_chunks) counters psum at the end).  Stream
+        layout per shard is ``fold_in(fold_in(fold_in(key, point_id), chunk),
+        shard)`` — bit-identical to a host loop of sharded runs with
+        ``point_key = fold_in(key, point_id)``.  Returns None off the lifted
+        fused-kernel path (run_grid then falls back to looped run()).
+        """
+        lifted = self._shard_lifted(num_syms)
+        if lifted is None:
+            return None
+        fn, consts, spec, local = lifted
+        jkey = ("sgrid", spec, self.mesh, num_points, num_chunks)
+        j = _SHARED_SHARD_JIT.get(jkey)
+        if j is None:
+
+            def f(key, carry0, point_ids, snrs, sqrt_powers, consts_):
+                idx = jax.lax.axis_index(MC_AXIS)
+
+                def pbody(_, xs):
+                    p, snr, sp = xs
+                    pkey = jax.random.fold_in(key, p)
+
+                    def cbody(c, i):
+                        k = jax.random.fold_in(jax.random.fold_in(pkey, i), idx)
+                        stats, c2 = fn(k, c, snr, sp, consts_)
+                        return c2, stats
+
+                    c_end, ys = jax.lax.scan(
+                        cbody, carry0[0], jnp.arange(num_chunks)
+                    )
+                    return None, (ys, c_end)
+
+                _, (ys, c_end) = jax.lax.scan(
+                    pbody, None, (point_ids, snrs, sqrt_powers)
+                )
+                ys["bit_errors"] = jax.lax.psum(ys["bit_errors"], MC_AXIS)
+                ys["symbol_errors"] = jax.lax.psum(ys["symbol_errors"], MC_AXIS)
+                ys["papr_peak"] = jax.lax.pmax(ys["papr_peak"], MC_AXIS)
+                ys["papr_sum"] = jax.lax.psum(ys["papr_sum"], MC_AXIS)
+                ys["papr_count"] = jax.lax.psum(ys["papr_count"], MC_AXIS)
+                # Per-point per-shard carries, shard axis restored at axis 1:
+                # global (num_points, n_dev, ...) so run_grid's carries[p] is
+                # exactly a sharded carry for the remainder step.
+                return ys, jax.tree.map(lambda a: a[:, None], c_end)
+
+            carry_spec = jax.tree.map(
+                lambda _: P(MC_AXIS), self._init_carry_sharded()
+            )
+            out_carry_spec = jax.tree.map(
+                lambda _: P(None, MC_AXIS), self._init_carry_sharded()
+            )
+            out_stats_spec: Dict[str, Any] = {
+                "bit_errors": P(),
+                "symbol_errors": P(),
+                "papr_peak": P(),
+                "papr_sum": P(),
+                "papr_count": P(),
+            }
+            sm = shard_map(
+                f,
+                mesh=self.mesh,
+                in_specs=(
+                    P(),
+                    carry_spec,
+                    P(),
+                    P(),
+                    P(),
+                    jax.tree.map(lambda _: P(), consts),
+                ),
+                out_specs=(out_stats_spec, out_carry_spec),
+                check_vma=False,
+            )
+            j = _SHARED_SHARD_JIT.setdefault(jkey, jax.jit(sm))
+        return lambda key, carry0, pids, snrs, sps: j(
+            key, carry0, pids, snrs, sps, consts
+        )
+
+    def _grid_multi_lift(self, chunk: int):
+        lifted = self._shard_lifted(chunk)
+        if lifted is None:
+            return None
+        fn, consts, spec, _local = lifted
+        return fn, consts, spec
+
+    def _grid_scan_multi(self, num_points: int, num_chunks: int, spec, fn, consts0):
+        """Sharded multi-consts grid (adaptive sweeps): consts scan as xs
+        inside shard_map, replicated across shards; same stream layout and
+        collective placement as `_grid_scan`."""
+        jkey = ("sagrid", spec, self.mesh, num_points, num_chunks)
+        j = _SHARED_SHARD_JIT.get(jkey)
+        if j is None:
+
+            def f(key, carry0, point_ids, snrs, sqrt_powers, consts_stacked):
+                idx = jax.lax.axis_index(MC_AXIS)
+
+                def pbody(_, xs):
+                    p, snr, sp, consts_ = xs
+                    pkey = jax.random.fold_in(key, p)
+
+                    def cbody(c, i):
+                        k = jax.random.fold_in(jax.random.fold_in(pkey, i), idx)
+                        stats, c2 = fn(k, c, snr, sp, consts_)
+                        return c2, stats
+
+                    c_end, ys = jax.lax.scan(
+                        cbody, carry0[0], jnp.arange(num_chunks)
+                    )
+                    return None, (ys, c_end)
+
+                _, (ys, c_end) = jax.lax.scan(
+                    pbody, None, (point_ids, snrs, sqrt_powers, consts_stacked)
+                )
+                ys["bit_errors"] = jax.lax.psum(ys["bit_errors"], MC_AXIS)
+                ys["symbol_errors"] = jax.lax.psum(ys["symbol_errors"], MC_AXIS)
+                ys["papr_peak"] = jax.lax.pmax(ys["papr_peak"], MC_AXIS)
+                ys["papr_sum"] = jax.lax.psum(ys["papr_sum"], MC_AXIS)
+                ys["papr_count"] = jax.lax.psum(ys["papr_count"], MC_AXIS)
+                return ys, jax.tree.map(lambda a: a[:, None], c_end)
+
+            carry_spec = jax.tree.map(
+                lambda _: P(MC_AXIS), self._init_carry_sharded()
+            )
+            out_carry_spec = jax.tree.map(
+                lambda _: P(None, MC_AXIS), self._init_carry_sharded()
+            )
+            out_stats_spec: Dict[str, Any] = {
+                "bit_errors": P(),
+                "symbol_errors": P(),
+                "papr_peak": P(),
+                "papr_sum": P(),
+                "papr_count": P(),
+            }
+            sm = shard_map(
+                f,
+                mesh=self.mesh,
+                in_specs=(
+                    P(),
+                    carry_spec,
+                    P(),
+                    P(),
+                    P(),
+                    jax.tree.map(lambda _: P(), consts0),
+                ),
+                out_specs=(out_stats_spec, out_carry_spec),
+                check_vma=False,
+            )
+            j = _SHARED_SHARD_JIT.setdefault(jkey, jax.jit(sm))
+        return j
+
     def _pallas_chunk_multiple(self) -> int:
         from ofdm_tpu.ops import pallas_link
 
@@ -301,6 +453,7 @@ def run_sweep(
     stream_mode: str = "independent",
     collect_symbols: int = 0,
     results_manager=None,
+    grid: bool = True,
 ) -> List[Dict[str, Any]]:
     """Run an SNR x channel grid; returns one results dict per point.
 
@@ -311,6 +464,16 @@ def run_sweep(
     each point is upserted into the BER CSV as soon as it completes, so an
     interrupted sweep resumes at the grid level like the reference's CSV
     upsert (main.py:69-101).
+
+    ``grid=True`` (default) runs each channel's whole fixed-mode SNR sweep in
+    ONE device dispatch via ``LinkRunner.run_grid`` (the SNR axis scans
+    inside the executable; per-dispatch latency on remote-relay backends is
+    ~140 ms, which otherwise dominates moderate sweeps).  Results are
+    bit-identical to the looped form — the grid uses the same
+    ``fold_in(key, point_index)`` per-point streams.  Adaptive sweeps run
+    through ``run_grid_multi`` (per-point consts as stacked scan inputs,
+    partitioned by kernel spec — a few dispatches instead of one per
+    point); configs off the grid-capable paths fall back to the loop.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -323,6 +486,56 @@ def run_sweep(
         runner_cls = ShardedLinkRunner if sharded else LinkRunner
         adaptive = cfg.adaptive_modulation_mode.name == "CAPACITY_BASED"
         runner = None
+        if grid and adaptive and len(snrs) > 1:
+            # Adaptive points need per-point consts (SNR-dependent bit
+            # loading) but usually share one kernel spec — run the whole
+            # sweep in one dispatch with the consts stacked as scan inputs.
+            point_runners = []
+            for snr in snrs:
+                setup = prepare(cfg.replace(snr_db=float(snr)))
+                point_runners.append(
+                    runner_cls(setup, mesh=mesh, stream_mode=stream_mode)
+                    if runner_cls is ShardedLinkRunner
+                    else runner_cls(setup)
+                )
+            t0 = time.perf_counter()
+            rs = run_grid_multi(
+                point_runners,
+                key,
+                snrs,
+                collect_symbols=collect_symbols,
+                key_offset=len(results),
+            )
+            wall = (time.perf_counter() - t0) / max(len(rs), 1)
+            for r in rs:
+                r["channel_model"] = channel
+                r["wall_time_s"] = wall
+                results.append(r)
+                if results_manager is not None:
+                    results_manager.record(r)
+            continue
+        if grid and not adaptive and len(snrs) > 1:
+            setup = prepare(cfg.replace(snr_db=float(snrs[0])))
+            runner = (
+                runner_cls(setup, mesh=mesh, stream_mode=stream_mode)
+                if runner_cls is ShardedLinkRunner
+                else runner_cls(setup)
+            )
+            t0 = time.perf_counter()
+            rs = runner.run_grid(
+                key,
+                snrs,
+                collect_symbols=collect_symbols,
+                key_offset=len(results),
+            )
+            wall = (time.perf_counter() - t0) / max(len(rs), 1)
+            for r in rs:
+                r["channel_model"] = channel
+                r["wall_time_s"] = wall
+                results.append(r)
+                if results_manager is not None:
+                    results_manager.record(r)
+            continue
         for snr in snrs:
             t0 = time.perf_counter()
             if adaptive or runner is None:

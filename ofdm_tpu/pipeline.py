@@ -33,7 +33,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -579,48 +579,20 @@ class LinkRunner:
         cdtype = jnp.complex64 if self.setup.cfg.dtype == "complex64" else jnp.complex128
         return jnp.zeros((k,), cdtype)
 
-    # -- full run ----------------------------------------------------------------
-    def run(
-        self,
-        key: jax.Array,
-        collect_symbols: int = 0,
-        snr_db: Optional[float] = None,
-        render_constellation: bool = False,
-    ) -> Dict[str, Any]:
-        """Execute the whole simulation; returns a reference-style results dict.
+    # -- chunk planning (shared by run() and run_grid()) -----------------------
+    def _chunk_plan(self):
+        """(chunk, num_full, rem, hotpath_used, matmul_passes_used).
 
-        ``snr_db`` overrides the config's SNR *without recompiling* (fixed
-        mode only): one LinkRunner serves a whole SNR sweep.  Adaptive mode
-        raises — its bit loading is SNR-dependent; build one runner per point.
-
-        ``render_constellation=True`` renders the reference's in-run
-        constellation figure into ``results["constellation_plot"]`` (a PIL
-        image, simulation/models.py:630-796).  Default off: on TPU, plotting
-        belongs off the hot path (ResultsManager renders from
-        ``received_symbols``); the key is always present for drop-in
-        reference-dict compatibility (None when not rendered).
+        Error counters accumulate on-device in int32 (metrics.index_bit_errors
+        and the fused kernel's SMEM accumulators run per *chunk*).  Cap the
+        effective chunk so one chunk can never carry >= 2^31 bits, whatever
+        symbols_per_chunk the caller asked for; the host accumulates chunk
+        totals in Python ints, so whole runs stay exact at any size.
         """
         s = self.setup
-        if render_constellation and collect_symbols <= 0:
-            collect_symbols = 4096  # enough for a representative scatter
-        if snr_db is None:
-            snr_db = s.cfg.snr_db
-        elif s.is_adaptive and snr_db != s.cfg.snr_db:
-            raise ValueError(
-                "Adaptive bit loading is SNR-dependent; prepare() a new setup per point."
-            )
-        power_allocation, water_level = self.point_params(snr_db)
-        snr_arr = jnp.float32(snr_db)
-        sqrt_power = jnp.asarray(np.sqrt(power_allocation), jnp.float32)
-
         B = s.num_ofdm_symbols
         chunk = s.cfg.symbols_per_chunk or B
         chunk = min(chunk, B)
-        # Error counters accumulate on-device in int32 (metrics.index_bit_errors
-        # and the fused kernel's SMEM accumulators run per *chunk*).  Cap the
-        # effective chunk so one chunk can never carry >= 2^31 bits, whatever
-        # symbols_per_chunk the caller asked for; the host accumulates chunk
-        # totals in Python ints, so whole runs stay exact at any size.
         max_chunk = (2**31 - 1) // max(s.bits_per_ofdm_symbol, 1)
         chunk = min(chunk, max_chunk)
         hotpath_used = "xla"
@@ -644,51 +616,27 @@ class LinkRunner:
             if chunk >= gran and pallas_link.supports(self, interpret=self._interpret):
                 chunk -= chunk % gran
                 hotpath_used = "pallas"
+        return chunk, B // chunk, B % chunk, hotpath_used, matmul_passes_used
 
-        totals = {"bit_errors": 0, "symbol_errors": 0}
-        papr_peak, papr_sum, papr_count = 0.0, 0.0, 0
-        received_sample = None
-
-        num_full = B // chunk
-        rem = B % chunk
-
-        if collect_symbols > 0:
-            # Replay chunk 0 with symbol capture.  The replay always runs the
-            # XLA chunk_body (return_symbols disables the fused kernel), so
-            # when the scanned bulk ran the Pallas kernel the sample is a
-            # *different random realization* drawn from the same seed — a
-            # statistically (not bitwise) representative constellation sample.
-            # With hotpath="matmul"/engine="complex" both paths are XLA and
-            # the sample is the exact chunk-0 data.
-            step0 = self._step(min(chunk, B), True)
-            stats0, _ = step0(
-                jax.random.fold_in(key, 0), self._init_carry(), snr_arr, sqrt_power
-            )
-            received_sample = cplx.to_numpy(stats0["received_symbols"])[:collect_symbols]
-
-        t0 = time.perf_counter()
-        carry = self._init_carry()
-        if num_full > 0:
-            scan = self._scan(num_full, chunk)
-            carry, ys = scan(key, carry, snr_arr, sqrt_power)
-            totals["bit_errors"] += int(np.sum(np.asarray(ys["bit_errors"], np.int64)))
-            totals["symbol_errors"] += int(
-                np.sum(np.asarray(ys["symbol_errors"], np.int64))
-            )
-            papr_peak = max(papr_peak, float(np.max(ys["papr_peak"])))
-            papr_sum += float(np.sum(np.asarray(ys["papr_sum"], np.float64)))
-            papr_count += int(np.sum(np.asarray(ys["papr_count"], np.float64)))
-        if rem > 0:
-            step = self._step(rem, False)
-            stats, carry = step(jax.random.fold_in(key, num_full), carry, snr_arr, sqrt_power)
-            totals["bit_errors"] += int(stats["bit_errors"])
-            totals["symbol_errors"] += int(stats["symbol_errors"])
-            papr_peak = max(papr_peak, float(stats["papr_peak"]))
-            papr_sum += float(stats["papr_sum"])
-            papr_count += int(stats["papr_count"])
-        elapsed = time.perf_counter() - t0
-
+    def _results(
+        self,
+        snr_db: float,
+        totals: Dict[str, int],
+        papr_peak: float,
+        papr_sum: float,
+        papr_count: int,
+        elapsed: float,
+        power_allocation,
+        water_level,
+        received_sample,
+        hotpath_used: str,
+        matmul_passes_used,
+        render_constellation: bool = False,
+    ) -> Dict[str, Any]:
+        """Assemble the reference-style results dict for one SNR point."""
+        s = self.setup
         cfg = s.cfg
+        B = s.num_ofdm_symbols
         num_symbols_total = B * cfg.num_subcarriers
         ber = totals["bit_errors"] / s.total_bits if s.total_bits > 0 else 0.0
         ser = totals["symbol_errors"] / num_symbols_total if num_symbols_total else 0.0
@@ -765,6 +713,489 @@ class LinkRunner:
                 adaptive=s.is_adaptive,
             )
         return results
+
+    # -- full run ----------------------------------------------------------------
+    def run(
+        self,
+        key: jax.Array,
+        collect_symbols: int = 0,
+        snr_db: Optional[float] = None,
+        render_constellation: bool = False,
+    ) -> Dict[str, Any]:
+        """Execute the whole simulation; returns a reference-style results dict.
+
+        ``snr_db`` overrides the config's SNR *without recompiling* (fixed
+        mode only): one LinkRunner serves a whole SNR sweep.  Adaptive mode
+        raises — its bit loading is SNR-dependent; build one runner per point.
+
+        ``render_constellation=True`` renders the reference's in-run
+        constellation figure into ``results["constellation_plot"]`` (a PIL
+        image, simulation/models.py:630-796).  Default off: on TPU, plotting
+        belongs off the hot path (ResultsManager renders from
+        ``received_symbols``); the key is always present for drop-in
+        reference-dict compatibility (None when not rendered).
+        """
+        s = self.setup
+        if render_constellation and collect_symbols <= 0:
+            collect_symbols = 4096  # enough for a representative scatter
+        if snr_db is None:
+            snr_db = s.cfg.snr_db
+        elif s.is_adaptive and snr_db != s.cfg.snr_db:
+            raise ValueError(
+                "Adaptive bit loading is SNR-dependent; prepare() a new setup per point."
+            )
+        power_allocation, water_level = self.point_params(snr_db)
+        snr_arr = jnp.float32(snr_db)
+        sqrt_power = jnp.asarray(np.sqrt(power_allocation), jnp.float32)
+
+        B = s.num_ofdm_symbols
+        chunk, num_full, rem, hotpath_used, matmul_passes_used = self._chunk_plan()
+
+        totals = {"bit_errors": 0, "symbol_errors": 0}
+        papr_peak, papr_sum, papr_count = 0.0, 0.0, 0
+        received_sample = None
+
+        if collect_symbols > 0:
+            # Replay chunk 0 with symbol capture.  The replay always runs the
+            # XLA chunk_body (return_symbols disables the fused kernel), so
+            # when the scanned bulk ran the Pallas kernel the sample is a
+            # *different random realization* drawn from the same seed — a
+            # statistically (not bitwise) representative constellation sample.
+            # With hotpath="matmul"/engine="complex" both paths are XLA and
+            # the sample is the exact chunk-0 data.
+            step0 = self._step(min(chunk, B), True)
+            stats0, _ = step0(
+                jax.random.fold_in(key, 0), self._init_carry(), snr_arr, sqrt_power
+            )
+            received_sample = cplx.to_numpy(stats0["received_symbols"])[:collect_symbols]
+
+        t0 = time.perf_counter()
+        carry = self._init_carry()
+        if num_full > 0:
+            scan = self._scan(num_full, chunk)
+            carry, ys = scan(key, carry, snr_arr, sqrt_power)
+            totals["bit_errors"] += int(np.sum(np.asarray(ys["bit_errors"], np.int64)))
+            totals["symbol_errors"] += int(
+                np.sum(np.asarray(ys["symbol_errors"], np.int64))
+            )
+            papr_peak = max(papr_peak, float(np.max(ys["papr_peak"])))
+            papr_sum += float(np.sum(np.asarray(ys["papr_sum"], np.float64)))
+            papr_count += int(np.sum(np.asarray(ys["papr_count"], np.float64)))
+        if rem > 0:
+            step = self._step(rem, False)
+            stats, carry = step(jax.random.fold_in(key, num_full), carry, snr_arr, sqrt_power)
+            totals["bit_errors"] += int(stats["bit_errors"])
+            totals["symbol_errors"] += int(stats["symbol_errors"])
+            papr_peak = max(papr_peak, float(stats["papr_peak"]))
+            papr_sum += float(stats["papr_sum"])
+            papr_count += int(stats["papr_count"])
+        elapsed = time.perf_counter() - t0
+
+        return self._results(
+            snr_db,
+            totals,
+            papr_peak,
+            papr_sum,
+            papr_count,
+            elapsed,
+            power_allocation,
+            water_level,
+            received_sample,
+            hotpath_used,
+            matmul_passes_used,
+            render_constellation=render_constellation,
+        )
+
+    # -- whole-grid run (all SNR points in ONE dispatch) -----------------------
+    def _grid_scan(self, num_points: int, num_chunks: int, num_syms: int):
+        """Compiled grid executable: scan over SNR points x chunks, one dispatch.
+
+        Returns a callable ``(key, carry0, point_ids, snrs, sqrt_powers) ->
+        stacked stats (num_points, num_chunks, ...)`` or None when no chunk
+        body is available.  Each point re-initializes the convolution carry
+        and draws chunk keys as ``fold_in(fold_in(key, point_id), chunk)`` —
+        exactly the stream layout of a host loop of `run()` calls with
+        ``point_key = fold_in(key, point_id)``, so grid results are
+        bit-identical to the looped sweep they replace.
+        """
+        lifted = self._lifted(num_syms)
+        if lifted is not None:
+            fn, consts, spec = lifted
+            jkey = ("grid", spec, num_points, num_chunks)
+            j = _SHARED_JIT.get(jkey)
+            if j is None:
+
+                def f(key, carry0, point_ids, snrs, sqrt_powers, consts_):
+                    def pbody(_, xs):
+                        p, snr, sp = xs
+                        pkey = jax.random.fold_in(key, p)
+
+                        def cbody(carry, i):
+                            stats, carry = fn(
+                                jax.random.fold_in(pkey, i), carry, snr, sp, consts_
+                            )
+                            return carry, stats
+
+                        carry_end, ys = jax.lax.scan(
+                            cbody, carry0, jnp.arange(num_chunks)
+                        )
+                        return None, (ys, carry_end)
+
+                    _, out = jax.lax.scan(
+                        pbody, None, (point_ids, snrs, sqrt_powers)
+                    )
+                    return out
+
+                j = _SHARED_JIT.setdefault(jkey, jax.jit(f))
+            return lambda key, carry0, pids, snrs, sps: j(
+                key, carry0, pids, snrs, sps, consts
+            )
+        key_ = ("grid", num_points, num_chunks, num_syms)
+        if key_ not in self._jitted:
+            chunk_fn = self._chunk_fn(num_syms, False)
+
+            def f(key, carry0, point_ids, snrs, sqrt_powers):
+                def pbody(_, xs):
+                    p, snr, sp = xs
+                    pkey = jax.random.fold_in(key, p)
+
+                    def cbody(carry, i):
+                        stats, carry = chunk_fn(
+                            jax.random.fold_in(pkey, i), carry, snr, sp
+                        )
+                        return carry, stats
+
+                    carry_end, ys = jax.lax.scan(
+                        cbody, carry0, jnp.arange(num_chunks)
+                    )
+                    return None, (ys, carry_end)
+
+                _, out = jax.lax.scan(pbody, None, (point_ids, snrs, sqrt_powers))
+                return out
+
+            self._jitted[key_] = jax.jit(f)
+        return self._jitted[key_]
+
+    def _grid_scan_multi(self, num_points: int, num_chunks: int, spec, fn, consts0):
+        """Grid executable whose per-point consts are scan inputs.
+
+        Used for adaptive sweeps: each SNR point's bit loading gives it
+        different order/equalizer constant rows, but an equal kernel spec
+        means one executable can scan over the stacked consts pytree.
+        Stream layout matches `_grid_scan` (and therefore a host loop of
+        per-point runs).
+        """
+        jkey = ("agrid", spec, num_points, num_chunks)
+        j = _SHARED_JIT.get(jkey)
+        if j is None:
+
+            def f(key, carry0, point_ids, snrs, sqrt_powers, consts_stacked):
+                def pbody(_, xs):
+                    p, snr, sp, consts_ = xs
+                    pkey = jax.random.fold_in(key, p)
+
+                    def cbody(carry, i):
+                        stats, carry = fn(
+                            jax.random.fold_in(pkey, i), carry, snr, sp, consts_
+                        )
+                        return carry, stats
+
+                    carry_end, ys = jax.lax.scan(
+                        cbody, carry0, jnp.arange(num_chunks)
+                    )
+                    return None, (ys, carry_end)
+
+                _, out = jax.lax.scan(
+                    pbody, None, (point_ids, snrs, sqrt_powers, consts_stacked)
+                )
+                return out
+
+            j = _SHARED_JIT.setdefault(jkey, jax.jit(f))
+        return j
+
+    def _grid_multi_lift(self, chunk: int):
+        """(fn, consts, spec) for the multi-consts grid, or None.
+
+        ShardedLinkRunner overrides with its per-device lift so the multi
+        grid shards like everything else.
+        """
+        return self._lifted(chunk)
+
+    def run_grid(
+        self,
+        key: jax.Array,
+        snrs: Sequence[float],
+        collect_symbols: int = 0,
+        key_offset: int = 0,
+    ) -> List[Dict[str, Any]]:
+        """Run a whole fixed-mode SNR sweep in ONE device dispatch.
+
+        Per-dispatch latency on remote-relay TPU backends is ~140 ms, which
+        dominates moderate sweeps (a 2^22-symbol point computes in ~17 ms on
+        the fused kernel); scanning the SNR axis *inside* the executable makes
+        the entire grid one round trip.  SNR and the per-point waterfilling
+        sqrt-power rows are already traced arguments of the shared chunk
+        executable, so the grid executable is cached on the same kernel spec
+        and compiles once per config family.
+
+        Point ``p`` uses ``point_key = fold_in(key, key_offset + p)`` and is
+        bit-identical to ``self.run(point_key, snr_db=snrs[p])`` (same PRNG
+        stream layout — see `_grid_scan`).  Adaptive mode raises (its bit
+        loading is SNR-dependent; `run_sweep` builds one runner per point).
+
+        Per-point wall time is reported as the grid's elapsed/len(snrs) (the
+        points execute back-to-back inside one dispatch); each result carries
+        ``grid_points = len(snrs)`` so consumers can tell.
+        """
+        s = self.setup
+        if s.is_adaptive:
+            raise ValueError(
+                "Adaptive bit loading is SNR-dependent; use run_sweep (one "
+                "prepare() per point)."
+            )
+        snrs = [float(x) for x in snrs]
+        npts = len(snrs)
+        if npts == 0:
+            return []
+        params = [self.point_params(snr) for snr in snrs]
+        chunk, num_full, rem, hotpath_used, matmul_passes_used = self._chunk_plan()
+        grid = self._grid_scan(npts, num_full, chunk) if num_full > 0 else None
+        if grid is None:
+            return [
+                self.run(
+                    jax.random.fold_in(key, key_offset + p),
+                    collect_symbols=collect_symbols,
+                    snr_db=snr,
+                )
+                for p, snr in enumerate(snrs)
+            ]
+
+        point_ids = jnp.arange(key_offset, key_offset + npts, dtype=jnp.uint32)
+        snr_arr = jnp.asarray(snrs, jnp.float32)
+        sqrt_powers = jnp.asarray(
+            np.stack([np.sqrt(p) for p, _ in params]), jnp.float32
+        )
+
+        samples: List[Any] = [None] * npts
+        if collect_symbols > 0:
+            # Per-point XLA replay (outside the timed window) — same
+            # statistically-representative-sample semantics as run().
+            step0 = self._step(min(chunk, s.num_ofdm_symbols), True)
+            for p in range(npts):
+                pkey = jax.random.fold_in(key, key_offset + p)
+                stats0, _ = step0(
+                    jax.random.fold_in(pkey, 0),
+                    self._init_carry(),
+                    jnp.float32(snrs[p]),
+                    sqrt_powers[p],
+                )
+                samples[p] = cplx.to_numpy(stats0["received_symbols"])[
+                    :collect_symbols
+                ]
+
+        t0 = time.perf_counter()
+        ys, carries = grid(key, self._init_carry(), point_ids, snr_arr, sqrt_powers)
+        ys = jax.tree.map(np.asarray, ys)
+        rem_stats = []
+        if rem > 0:
+            # Continue each point's convolution stream from its post-scan
+            # carry (stacked on axis 0 by the grid's point scan) — identical
+            # to run()'s remainder step.
+            step = self._step(rem, False)
+            for p in range(npts):
+                pkey = jax.random.fold_in(key, key_offset + p)
+                st, _ = step(
+                    jax.random.fold_in(pkey, num_full),
+                    jax.tree.map(lambda a: a[p], carries),
+                    jnp.float32(snrs[p]),
+                    sqrt_powers[p],
+                )
+                rem_stats.append(st)
+        elapsed = time.perf_counter() - t0
+
+        out: List[Dict[str, Any]] = []
+        for p, snr in enumerate(snrs):
+            totals = {
+                "bit_errors": int(np.sum(np.asarray(ys["bit_errors"][p], np.int64))),
+                "symbol_errors": int(
+                    np.sum(np.asarray(ys["symbol_errors"][p], np.int64))
+                ),
+            }
+            papr_peak = float(np.max(ys["papr_peak"][p]))
+            papr_sum = float(np.sum(np.asarray(ys["papr_sum"][p], np.float64)))
+            papr_count = int(np.sum(np.asarray(ys["papr_count"][p], np.float64)))
+            if rem > 0:
+                st = rem_stats[p]
+                totals["bit_errors"] += int(st["bit_errors"])
+                totals["symbol_errors"] += int(st["symbol_errors"])
+                papr_peak = max(papr_peak, float(st["papr_peak"]))
+                papr_sum += float(st["papr_sum"])
+                papr_count += int(st["papr_count"])
+            power_allocation, water_level = params[p]
+            r = self._results(
+                snr,
+                totals,
+                papr_peak,
+                papr_sum,
+                papr_count,
+                elapsed / npts,
+                power_allocation,
+                water_level,
+                samples[p],
+                hotpath_used,
+                matmul_passes_used,
+            )
+            r["grid_points"] = npts
+            out.append(r)
+        return out
+
+
+def run_grid_multi(
+    runners: Sequence["LinkRunner"],
+    key: jax.Array,
+    snrs: Sequence[float],
+    collect_symbols: int = 0,
+    key_offset: int = 0,
+) -> Optional[List[Dict[str, Any]]]:
+    """One dispatch for a sweep whose points need DIFFERENT kernel consts.
+
+    Adaptive (CAPACITY_BASED) bit loading is SNR-dependent, so each sweep
+    point has its own prepared runner with its own order/equalizer constant
+    rows.  When every point lands on the same kernel spec and chunk plan,
+    one executable can still run the whole sweep in a single dispatch: the
+    per-point consts pytrees stack into scan inputs (`_grid_scan_multi`).
+    Point ``p`` is bit-identical to
+    ``runners[p].run(fold_in(key, key_offset+p))``.
+
+    Points are PARTITIONED by (chunk plan, kernel spec): each group of
+    spec-compatible points runs as one grid dispatch, and leftover points
+    (a different word width at the high-SNR tail, or off the lifted
+    fused-kernel path) run individually — an adaptive sweep whose bit
+    loading crosses a kernel word-width boundary still collapses to a few
+    dispatches instead of one per point.
+    """
+    npts = len(runners)
+    if npts != len(snrs):
+        raise ValueError("one runner per SNR point required")
+    if npts == 0:
+        return []
+
+    groups: Dict[Any, List[int]] = {}
+    lifts: List[Any] = []
+    plans: List[Any] = []
+    for p, r in enumerate(runners):
+        plan = r._chunk_plan()
+        plans.append(plan)
+        lift = (
+            r._grid_multi_lift(plan[0])
+            if plan[3] == "pallas" and plan[1] > 0
+            else None
+        )
+        lifts.append(lift)
+        gk = (plan, lift[2]) if lift is not None else None
+        groups.setdefault(gk, []).append(p)
+
+    out: List[Optional[Dict[str, Any]]] = [None] * npts
+    for gk, idxs in groups.items():
+        if gk is None or len(idxs) == 1:
+            for p in idxs:
+                res = runners[p].run(
+                    jax.random.fold_in(key, key_offset + p),
+                    collect_symbols=collect_symbols,
+                )
+                out[p] = res
+            continue
+        chunk, num_full, rem, hotpath_used, matmul_passes_used = plans[idxs[0]]
+        r0 = runners[idxs[0]]
+        fns = [lifts[p][0] for p in idxs]
+        consts_list = [lifts[p][1] for p in idxs]
+        spec = lifts[idxs[0]][2]
+        grid = r0._grid_scan_multi(
+            len(idxs), num_full, spec, fns[0], consts_list[0]
+        )
+        consts_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *consts_list)
+        point_ids = jnp.asarray(
+            [key_offset + p for p in idxs], dtype=jnp.uint32
+        )
+        snr_arr = jnp.asarray([float(snrs[p]) for p in idxs], jnp.float32)
+        params = [runners[p].point_params(float(snrs[p])) for p in idxs]
+        sqrt_powers = jnp.asarray(
+            np.stack([np.sqrt(pa) for pa, _ in params]), jnp.float32
+        )
+
+        samples: List[Any] = [None] * len(idxs)
+        if collect_symbols > 0:
+            for gi, p in enumerate(idxs):
+                r = runners[p]
+                pkey = jax.random.fold_in(key, key_offset + p)
+                step0 = r._step(min(chunk, r.setup.num_ofdm_symbols), True)
+                stats0, _ = step0(
+                    jax.random.fold_in(pkey, 0),
+                    r._init_carry(),
+                    jnp.float32(float(snrs[p])),
+                    sqrt_powers[gi],
+                )
+                samples[gi] = cplx.to_numpy(stats0["received_symbols"])[
+                    :collect_symbols
+                ]
+
+        t0 = time.perf_counter()
+        ys, carries = grid(
+            key, r0._init_carry(), point_ids, snr_arr, sqrt_powers, consts_stacked
+        )
+        ys = jax.tree.map(np.asarray, ys)
+        rem_stats = []
+        if rem > 0:
+            for gi, p in enumerate(idxs):
+                r = runners[p]
+                pkey = jax.random.fold_in(key, key_offset + p)
+                step = r._step(rem, False)
+                st, _ = step(
+                    jax.random.fold_in(pkey, num_full),
+                    jax.tree.map(lambda a, gi=gi: a[gi], carries),
+                    jnp.float32(float(snrs[p])),
+                    sqrt_powers[gi],
+                )
+                rem_stats.append(st)
+        elapsed = time.perf_counter() - t0
+
+        for gi, p in enumerate(idxs):
+            r = runners[p]
+            totals = {
+                "bit_errors": int(
+                    np.sum(np.asarray(ys["bit_errors"][gi], np.int64))
+                ),
+                "symbol_errors": int(
+                    np.sum(np.asarray(ys["symbol_errors"][gi], np.int64))
+                ),
+            }
+            papr_peak = float(np.max(ys["papr_peak"][gi]))
+            papr_sum = float(np.sum(np.asarray(ys["papr_sum"][gi], np.float64)))
+            papr_count = int(np.sum(np.asarray(ys["papr_count"][gi], np.float64)))
+            if rem > 0:
+                st = rem_stats[gi]
+                totals["bit_errors"] += int(st["bit_errors"])
+                totals["symbol_errors"] += int(st["symbol_errors"])
+                papr_peak = max(papr_peak, float(st["papr_peak"]))
+                papr_sum += float(st["papr_sum"])
+                papr_count += int(st["papr_count"])
+            power_allocation, water_level = params[gi]
+            res = r._results(
+                float(snrs[p]),
+                totals,
+                papr_peak,
+                papr_sum,
+                papr_count,
+                elapsed / len(idxs),
+                power_allocation,
+                water_level,
+                samples[gi],
+                hotpath_used,
+                matmul_passes_used,
+            )
+            res["grid_points"] = len(idxs)
+            out[p] = res
+    return out
 
 
 def simulate(
