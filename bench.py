@@ -55,12 +55,13 @@ def main() -> int:
     # latency is amortized (the kernel's marginal rate is ~2-6x the
     # small-run wall rate; measured slope 67-86M syms/s vs 12M reported at
     # 2^21 — see docs/PERFORMANCE.md "Where the time goes").
-    # 2^30 OFDM symbols = 412G bits per run: the ~0.37 s fixed per-run
+    # 2^31 OFDM symbols = 824G bits per run: the ~0.18 s fixed per-run
     # overhead (dispatch + host sums, measured by run-size differencing)
-    # drops from ~13% of wall at 2^28 to ~3.5% here.  Counters stay exact:
-    # chunks accumulate int32 on device, the host sums chunk totals in
-    # int64 (pipeline.py run()).
-    num_ofdm_symbols = 1 << 30
+    # drops to ~2% of the ~8.9 s run (measured 2026-08-19: 241.5M syms/s
+    # wall at 2^31 vs 236.9M at 2^30).  Counters stay exact: chunks
+    # accumulate int32 on device, the host sums chunk totals in int64
+    # (pipeline.py run()).
+    num_ofdm_symbols = 1 << 31
     cfg = SimulationConfig(
         num_symbols=64 * num_ofdm_symbols,
         num_subcarriers=64,

@@ -70,3 +70,53 @@ def test_light_examples_run(script, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     os.makedirs("config/channel_models", exist_ok=True)
     runpy.run_path(os.path.join(REPO, "examples", f"{script}.py"), run_name="__main__")
+
+
+def test_bit_loading_walkthrough_runs(tmp_path, monkeypatch):
+    """The notebook's script form runs end to end and hits its design SER."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "bit_loading_walkthrough.py",
+            "--num-ofdm-symbols",
+            "64",
+            "--out",
+            str(tmp_path),
+        ],
+    )
+    runpy.run_path(
+        os.path.join(REPO, "examples", "bit_loading_walkthrough.py"),
+        run_name="__main__",
+    )
+    assert os.path.exists(tmp_path / "bit_loading_constellation.png")
+    assert os.path.exists(tmp_path / "bit_loading_water_level.png")
+
+
+def test_bit_loading_notebook_cells_execute():
+    """notebook/bit_loading.ipynb stays honest: every code cell executes
+    in order and the final metrics land near the gap-function design SER."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(os.path.join(REPO, "notebook", "bit_loading.ipynb")) as f:
+        nb = json.load(f)
+    ns: dict = {}
+    try:
+        for cell in nb["cells"]:
+            if cell["cell_type"] != "code":
+                continue
+            exec(compile("".join(cell["source"]), "bit_loading.ipynb", "exec"), ns)
+    finally:
+        plt.close("all")
+    # The notebook's design target is SER 1e-3; 156 OFDM symbols of a
+    # ~30-subcarrier-wide adaptive layout give a few thousand symbol
+    # draws, so allow a generous Monte-Carlo band.
+    assert 0.0 <= ns["ser"] < 2e-2
+    assert ns["ber"] < ns["ser"] or ns["ser"] == 0.0
+    assert ns["mapper"].bits_per_ofdm_symbol > 0
