@@ -115,3 +115,68 @@ def test_channel_order_and_gains():
     H = chm.channel_frequency_response(h, 64)
     np.testing.assert_allclose(chm.channel_gains(h, 64), np.abs(H) ** 2)
     np.testing.assert_allclose(H, np.fft.fft(h, 64))
+
+
+# ---------------------------------------------------------------------------
+# Validation + extreme-input clusters mirroring the reference's
+# channel/test_models.py TestChannelModelInitialization / TestEdgeCases
+# ---------------------------------------------------------------------------
+
+
+def test_zero_impulse_response_raises():
+    """All-zero IR must be rejected at normalization (channel/test_models.py:
+    test_init_with_zero_impulse_response_raises_error)."""
+    with pytest.raises(ValueError):
+        chm.normalize_impulse_response(np.zeros(4, dtype=np.complex128))
+
+
+def test_normalize_preserves_phase():
+    """Unit-energy scaling is a positive real scalar: phases untouched
+    (channel/test_models.py TestNormalizeImpulseResponse)."""
+    h = np.array([1 + 1j, 0.5 - 0.25j, -0.3j], dtype=np.complex128)
+    hn = chm.normalize_impulse_response(h)
+    np.testing.assert_allclose(np.sum(np.abs(hn) ** 2), 1.0, atol=1e-12)
+    np.testing.assert_allclose(np.angle(hn), np.angle(h), atol=1e-12)
+    hn2 = chm.normalize_impulse_response(hn)
+    np.testing.assert_allclose(hn2, hn, atol=1e-15)  # idempotent
+
+
+def test_very_long_impulse_response_stream_conv():
+    """64-tap IR (channel/test_models.py test_very_long_impulse_response):
+    blocked convolution still equals the truncated whole-stream form."""
+    rng = np.random.default_rng(7)
+    taps = rng.normal(size=64) + 1j * rng.normal(size=64)
+    taps = chm.normalize_impulse_response(taps)
+    x = rng.normal(size=(6, 80)) + 1j * rng.normal(size=(6, 80))
+    out, _ = ch.convolve_blocks(jnp.asarray(x), jnp.asarray(taps))
+    want = np.convolve(x.ravel(), taps, mode="full")[: x.size].reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-10)
+
+
+def test_transmit_zero_signal():
+    """A zero input stream convolves to zero; AWGN then adds noise scaled
+    off the measured (zero) power — i.e. output stays exactly zero
+    (channel/test_models.py test_transmit_with_zero_signal semantics)."""
+    taps = jnp.asarray(chm.get_channel("Lin-Phoong_P1"))
+    z = jnp.zeros((4, 16), dtype=jnp.complex128)
+    out, _ = ch.transmit(jax.random.PRNGKey(0), z, taps, snr_db=20.0)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("snr_db", [-20.0, 0.0, 60.0])
+def test_transmit_extreme_snr_values(snr_db):
+    """Extreme SNRs stay finite and scale sanely (channel/test_models.py
+    test_extreme_snr_values)."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(64, 32)) + 1j * rng.normal(size=(64, 32))
+    taps = jnp.asarray(chm.get_channel("two_ray"))
+    out, _ = ch.transmit(jax.random.PRNGKey(1), jnp.asarray(x), taps, snr_db)
+    out = np.asarray(out)
+    assert np.all(np.isfinite(out))
+    clean, _ = ch.transmit(
+        jax.random.PRNGKey(1), jnp.asarray(x), taps, snr_db, add_noise=False
+    )
+    noise_power = np.mean(np.abs(out - np.asarray(clean)) ** 2)
+    signal_power = np.mean(np.abs(np.asarray(clean)) ** 2)
+    want = signal_power * 10 ** (-snr_db / 10.0)
+    assert 0.8 * want < noise_power < 1.25 * want
