@@ -137,7 +137,10 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
         # by the staged h_freq rows.  The TX IDFT matmul remains ONLY to
         # produce the time-domain plane for the PAPR / measured-power
         # statistics; no conv/RX matrices are staged at all.
-        ("diag", n * T, _ACT_ROWS_MM, T, u),  # OFDM only (_diag_for)
+        # Staged estimate covers the worst-case lane-packed block-diagonal
+        # TX matrix (pack^2 * n * T, pack*n <= 128) plus the MMSE segment
+        # averaging matrix (<= 128^2) — both tiny next to the budget.
+        ("diag", max(1, 128 // n) ** 2 * n * T + 128 * 128, _ACT_ROWS_MM, T, u),  # OFDM only (_diag_for)
         ("mm", mm_staged, _ACT_ROWS_MM, T + E, u),
         # "mm4": the same merged-conv kernel with 4-mult complex matmuls
         # (yr = xr@r - xi@i, yi = xr@i + xi@r) instead of Karatsuba — one
@@ -489,6 +492,16 @@ class _Spec(NamedTuple):
     # PAPR sampling stride (diag mode only; 1 elsewhere): the TX time plane
     # is computed on every pstride-th grid tile.  See config.papr_stride.
     pstride: int = 1
+    # Lane packing (diag mode only; 1 elsewhere): OFDM symbols per plane
+    # row.  f32 planes tile to (8, 128) vregs, so an n=64 frequency plane
+    # leaves half of every vreg's lanes empty — and the diag kernel is
+    # VPU-bound, so a (rows/2, 2n) layout with per-lane constants tiled
+    # x2 runs the whole elementwise chain at full lane utilization.
+    # Measured basis: a 128-subcarrier diag link costs the SAME 4.07
+    # ns/OFDM-symbol as the 64-subcarrier one (2026-08-19 probe), i.e.
+    # per-bin cost halves at full lanes.  Diag-only: fold/mm modes would
+    # pay pack x more MXU FLOPs on block-diagonal matmuls.
+    pack: int = 1
     # Profiling-only block ablation (OFDM_TPU_KERNEL_ABLATE env var, comma
     # separated: notx, nopapr, nodemap, nored, noacc).  Produces WRONG statistics
     # by design — timing attribution only (tools/kernel_attrib.py).  Part
@@ -517,6 +530,17 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
     )
     if tile is None:
         return None
+    # Lane packing (see _Spec.pack): p symbols per plane row while the
+    # packed width stays within one vreg's 128 lanes and the packed tile
+    # keeps at least one full sublane group of rows.
+    pack = 1
+    if conv == "diag":
+        while (
+            pack * 2 * cfg.num_subcarriers <= 128
+            and tile % (pack * 2) == 0
+            and tile // (pack * 2) >= 8
+        ):
+            pack *= 2
     if s.is_adaptive:
         mode = "aqam"
         order = 0
@@ -570,6 +594,7 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
         # (64sc: 216.6M stride-1 -> 238.5M stride-8 -> 246.5M stride-32
         # marginal; wide 1024sc AWGN: 90.6 -> 64.9 -> ~52 ns/sym).
         pstride=(cfg.papr_stride or 32) if conv == "diag" else 1,
+        pack=pack,
         ablate=os.environ.get("OFDM_TPU_KERNEL_ABLATE", ""),
     )
 
@@ -601,6 +626,13 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         # f32 tolerance: the kernel stages h_freq as f32 rows, so agreement
         # beyond single precision is irrelevant (d itself is f64-exact).
         assert np.allclose(d, h, rtol=1e-5, atol=1e-7), "diag != h_freq"
+        if spec.pack > 1:
+            # Lane packing: the sampled-tile TX matmul maps a (rows, p*n)
+            # packed frequency plane to a (rows, p*T) packed time plane via
+            # the block-diagonal IDFT+guard matrix — PAPR/measured-power
+            # statistics see exactly the same samples.
+            eye = np.eye(spec.pack)
+            ftx = (np.kron(eye, ftx[0]), np.kron(eye, ftx[1]))
         consts = _complex_matrix_consts(*ftx, spec.passes)
     elif spec.conv == "taps":
         # Wide links: the convolution runs as tap-shift FMAs (no (T, T)
@@ -639,17 +671,32 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         fi_r, fi_i = dft_matrix(n, inverse=True)
         consts = consts + _complex_matrix_consts(fi_r, fi_i, spec.passes, quad)
 
+    # Per-lane constant rows; lane packing tiles each row `pack` times so
+    # lane j of every packed symbol sees its own subcarrier's constants.
+    def _row(a, dtype=np.float32):
+        r = np.asarray(a, dtype).reshape(1, n)
+        return np.tile(r, (1, spec.pack)) if spec.pack > 1 else r
+
     h = s.h_freq.astype(np.complex128)
-    consts.append(np.asarray(h.real, np.float32).reshape(1, n))
-    consts.append(np.asarray(h.imag, np.float32).reshape(1, n))
-    consts.append(np.asarray(np.abs(h) ** 2, np.float32).reshape(1, n))
+    consts.append(_row(h.real))
+    consts.append(_row(h.imag))
+    consts.append(_row(np.abs(h) ** 2))
     # ZF gain rows precomputed with the reference's exact dead-bin semantics
     # (equalization/models.py:22-35): H==0 bins divide by eps=1e-10, giving
     # huge (not zero) symbols — matching the XLA path's intent exactly.
     h_z = np.where(h == 0, np.complex128(1e-10), h)
     zf_g = 1.0 / h_z
-    consts.append(np.asarray(zf_g.real, np.float32).reshape(1, n))
-    consts.append(np.asarray(zf_g.imag, np.float32).reshape(1, n))
+    consts.append(_row(zf_g.real))
+    consts.append(_row(zf_g.imag))
+    if spec.pack > 1 and spec.method == EqualizationMethod.MMSE:
+        # Per-OFDM-symbol MMSE noise-variance estimate under lane packing:
+        # the per-row mean becomes a per-n-lane-segment mean, computed as
+        # one bf16 matmul with the block-diagonal averaging matrix (each
+        # output lane receives its own symbol's mean |rx|^2 — the exact
+        # per-row semantics of equalization/models.py:39-49, already
+        # broadcast per lane).
+        mseg = np.kron(np.eye(spec.pack), np.full((n, n), 1.0 / n))
+        consts.append(np.asarray(mseg, np.float32).astype(jnp.bfloat16))
 
     if spec.mode == "aqam":
         # Per-subcarrier order parameters as (1, n) lane rows.  Inactive
@@ -667,11 +714,11 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
             if o > 0:
                 scales[k] = make_constellation("QAM", int(o)).scale
         inv_scale = np.where(active, 1.0 / np.where(scales == 0, 1.0, scales), 1.0)
-        consts.append(np.where(active, orders - 1, 0).astype(np.int32).reshape(1, n))
-        consts.append(m_side.astype(np.int32).reshape(1, n))
-        consts.append(logm.astype(np.int32).reshape(1, n))
-        consts.append(np.asarray(scales, np.float32).reshape(1, n))
-        consts.append(np.asarray(inv_scale, np.float32).reshape(1, n))
+        consts.append(_row(np.where(active, orders - 1, 0), np.int32))
+        consts.append(_row(m_side, np.int32))
+        consts.append(_row(logm, np.int32))
+        consts.append(_row(scales))
+        consts.append(_row(inv_scale))
 
     channel_gain = np.asarray([np.mean(np.abs(h) ** 2)], np.float32)  # SMEM scalar
     head = [jnp.asarray(channel_gain)]
@@ -811,6 +858,11 @@ def _fn_for_spec(spec: _Spec):
     TE = T + ext  # width of the TX output / prev planes / carry rows
     # taps mode reads full previous rows; mm mode only the ext tail lanes.
     need_prev = (conv_taps and ctaps > 1) or ext > 0
+    # Lane packing (diag only — see _Spec.pack): P symbols per plane row.
+    P = spec.pack
+    ROWS = TILE // P  # plane rows per grid step (still TILE symbols)
+    W = P * n  # frequency-plane width
+    has_mseg = P > 1 and method == EqualizationMethod.MMSE
 
     def kernel(
         seed_ref,  # SMEM (2,) i32: key words
@@ -846,6 +898,8 @@ def _fn_for_spec(spec: _Spec):
             idft_c = rest[:ncm]
             rest = rest[ncm:]
         (hre_ref, him_ref, habs2_ref, zfgr_ref, zfgi_ref, *rest) = rest
+        if has_mseg:
+            (mseg_ref, *rest) = rest
         if is_aqam:
             (mask_ref, mrow_ref, logm_ref, scale_ref, invs_ref, *rest) = rest
         (
@@ -858,7 +912,7 @@ def _fn_for_spec(spec: _Spec):
         snr_lin = jnp.exp(snr_ref[0] * np.float32(np.log(10.0) / 10.0))
 
         # --- TX: random indices -> constellation points (arithmetic) -------
-        raw = pltpu.bitcast(pltpu.prng_random_bits((TILE, n)), jnp.int32)
+        raw = pltpu.bitcast(pltpu.prng_random_bits((ROWS, W)), jnp.int32)
         aq_enc = (
             (mask_ref[:], mrow_ref[:], logm_ref[:], scale_ref[:])
             if is_aqam
@@ -922,8 +976,14 @@ def _fn_for_spec(spec: _Spec):
                 psum_ref[0, 0] = jnp.where(first, ps, psum_ref[0, 0] + ps)
                 # Carry rows are vestigial in diag mode (no cross-symbol
                 # ISI path consumes them) but the output must be written.
-                cout_re_ref[0, :] = xr[TILE - 1, :]
-                cout_im_ref[0, :] = xi[TILE - 1, :]
+                # Packed layouts: the tile's last symbol is the last T
+                # lanes of the last packed row.
+                if P > 1:
+                    cout_re_ref[0, :] = xr[ROWS - 1, (P - 1) * T :]
+                    cout_im_ref[0, :] = xi[ROWS - 1, (P - 1) * T :]
+                else:
+                    cout_re_ref[0, :] = xr[TILE - 1, :]
+                    cout_im_ref[0, :] = xi[TILE - 1, :]
         else:
             xr, xi = _cmatmul(sr, si, tuple(c[:] for c in ftx_c), passes, quad)
 
@@ -1006,10 +1066,15 @@ def _fn_for_spec(spec: _Spec):
                 actr, acti = xr, xi
             yr, yi = _cmatmul(actr, acti, tuple(c[:] for c in cv_c), passes, quad)
         # stash this tile's last row as the next tile's carry (strided diag
-        # writes it inside the sampled-tile block above)
+        # writes it inside the sampled-tile block above; packed diag planes
+        # have no (1, TE) last time row — carry is vestigial there)
         if not strided_papr:
-            cout_re_ref[0, :] = xr[TILE - 1, :]
-            cout_im_ref[0, :] = xi[TILE - 1, :]
+            if P > 1:
+                cout_re_ref[0, :] = xr[ROWS - 1, (P - 1) * T :]
+                cout_im_ref[0, :] = xi[ROWS - 1, (P - 1) * T :]
+            else:
+                cout_re_ref[0, :] = xr[TILE - 1, :]
+                cout_im_ref[0, :] = xi[TILE - 1, :]
 
         # --- AWGN -------------------------------------------------------------
         # fold mode adds the noise per frequency bin (width n, not T):
@@ -1018,14 +1083,14 @@ def _fn_for_spec(spec: _Spec):
         # and mean power over the n kept bins equals the time-domain mean
         # by Parseval (same per-tile estimator contract as before).
         if add_noise:
-            W = n if fold else T
+            nshape = (ROWS, W) if fold else (TILE, T)
             mp_ = jnp.mean(yr * yr + yi * yi)
             sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
-            rbits = pltpu.bitcast(pltpu.prng_random_bits((TILE, W)), jnp.int32)
+            rbits = pltpu.bitcast(pltpu.prng_random_bits(nshape), jnp.int32)
             u1 = jnp.maximum(
                 ((rbits >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24, _INV_2_24
             )
-            b2 = pltpu.bitcast(pltpu.prng_random_bits((TILE, W)), jnp.int32)
+            b2 = pltpu.bitcast(pltpu.prng_random_bits(nshape), jnp.int32)
             rad = jnp.sqrt(-2.0 * jnp.log(u1))
             # Box-Muller phase via the quarter-range polynomial pair
             # (_cossin_u24): a uniform 24-bit angle, cos AND sin for ~14
@@ -1050,7 +1115,18 @@ def _fn_for_spec(spec: _Spec):
         elif method == EqualizationMethod.MMSE:
             hre = hre_ref[:]
             him = him_ref[:]
-            sp = jnp.mean(fr * fr + fi_ * fi_, axis=1, keepdims=True)  # (Bt, 1)
+            if has_mseg:
+                # Packed rows hold P OFDM symbols: the per-row mean becomes
+                # a per-n-lane-segment mean via ONE bf16 matmul with the
+                # block-diagonal averaging matrix (same per-OFDM-symbol
+                # noise-variance semantics, result already per-lane).
+                sp = jnp.dot(
+                    (fr * fr + fi_ * fi_).astype(jnp.bfloat16),
+                    mseg_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                sp = jnp.mean(fr * fr + fi_ * fi_, axis=1, keepdims=True)  # (Bt, 1)
             nv = sp / snr_lin / cg_ref[0]
             g = 1.0 / (habs2_ref[:] + nv)
             er = (fr * hre + fi_ * him) * g
@@ -1125,7 +1201,12 @@ def _fn_for_spec(spec: _Spec):
     # --- pallas_call wiring ---------------------------------------------------
     ncm_out = 2 if quad else (3 if passes == 1 else 6)
     n_cmats = 1 if diag else (2 if (conv_taps or fold) else 3)
-    n_vmem_consts = (n_cmats + (1 if is_sc else 0)) * ncm_out + 5 + (5 if is_aqam else 0)
+    n_vmem_consts = (
+        (n_cmats + (1 if is_sc else 0)) * ncm_out
+        + 5
+        + (1 if has_mseg else 0)
+        + (5 if is_aqam else 0)
+    )
     n_smem = 5 if conv_taps else 3  # + tap re/im rows in taps mode
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = (

@@ -604,3 +604,87 @@ def test_ablation_knobs_are_spec_keyed_and_inert_by_default(monkeypatch):
     stats, carry = _run_kernel(runner)
     assert float(stats["papr_sum"]) == 0.0
     assert np.all(np.asarray(carry.re) == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Lane packing (diag mode): P OFDM symbols per plane row (_Spec.pack)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_selected_for_narrow_diag():
+    """64-sc diag links pack 2 symbols/row (vreg lanes are 128 wide);
+    32-sc packs 4; wide links and non-diag modes never pack."""
+    r = _runner()  # 64 sc, CP ratio 1.0 >= order: diag
+    spec = pallas_link._spec_for(r, 1024, True)
+    assert spec.conv == "diag" and spec.pack == 2
+
+    r32 = _runner(num_symbols=32 * 1024, num_subcarriers=32)
+    spec32 = pallas_link._spec_for(r32, 1024, True)
+    assert spec32.conv == "diag" and spec32.pack == 4
+
+    # Short guard (CP < channel order): fold mode, no packing.
+    rs = _runner(prefix_length_ratio=0.34)
+    specs = pallas_link._spec_for(rs, 1024, True)
+    assert specs.conv != "diag" and specs.pack == 1
+
+
+def test_packed_kernel_matches_unpacked_stats():
+    """The packed kernel's counters/PAPR/carry equal the forced pack=1
+    kernel's on the deterministic (zero-PRNG) chain — the const layout,
+    block-diagonal TX, tiled equalizer rows, and the MMSE segment-mean
+    matmul all reduce to the unpacked semantics."""
+    runner = _runner(
+        noise_type=NoiseType.NONE, equalization_method=EqualizationMethod.ZF
+    )
+    spec = pallas_link._spec_for(runner, 1024, True)
+    assert spec.pack == 2
+
+    def run_with(spec_):
+        fn = pallas_link._fn_for_spec(spec_)
+        consts = pallas_link._consts_for(runner, spec_)
+        return fn(
+            jax.random.PRNGKey(0),
+            runner._init_carry(),
+            jnp.float32(30.0),
+            jnp.ones(64, jnp.float32),
+            consts,
+        )
+
+    stats_p, carry_p = run_with(spec)
+    stats_1, carry_1 = run_with(spec._replace(pack=1))
+    assert int(stats_p["bit_errors"]) == int(stats_1["bit_errors"]) == 0
+    assert int(stats_p["symbol_errors"]) == int(stats_1["symbol_errors"]) == 0
+    np.testing.assert_allclose(
+        float(stats_p["papr_peak"]), float(stats_1["papr_peak"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(stats_p["papr_sum"]), float(stats_1["papr_sum"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry_p.re), np.asarray(carry_1.re), atol=1e-5
+    )
+
+
+def test_packed_adaptive_kernel_zero_errors():
+    """Adaptive (aqam) diag links pack too: per-subcarrier order rows tile
+    across the packed symbols and the deterministic chain decodes clean."""
+    from ofdm_tpu.config import (
+        AdaptiveModulationMode,
+        PowerAllocationType,
+    )
+
+    runner = _runner(
+        num_symbols=1024,
+        num_bits=None,
+        noise_type=NoiseType.NONE,
+        equalization_method=EqualizationMethod.ZF,
+        power_allocation_type=PowerAllocationType.WATERFILLING,
+        adaptive_modulation_mode=AdaptiveModulationMode.CAPACITY_BASED,
+        desired_symbol_error_rate=1e-3,
+        snr_db=20.0,
+    )
+    spec = pallas_link._spec_for(runner, 1024, True)
+    assert spec is not None and spec.mode == "aqam" and spec.pack == 2
+    stats, _ = _run_kernel(runner, snr=20.0)
+    assert int(stats["bit_errors"]) == 0
+    assert int(stats["symbol_errors"]) == 0
