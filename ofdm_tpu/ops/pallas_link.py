@@ -531,10 +531,17 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
     if tile is None:
         return None
     # Lane packing (see _Spec.pack): p symbols per plane row while the
-    # packed width stays within one vreg's 128 lanes and the packed tile
-    # keeps at least one full sublane group of rows.
+    # packed frequency width stays within one vreg's 128 lanes and the
+    # packed tile keeps at least one full sublane group of rows.  diag
+    # mode packs the pure-elementwise chain; fold mode ("mm" with conv
+    # folded into RX — short-guard CP, no-prefix, SC-FDE) packs too: its
+    # block-diagonal matmuls cost the SAME MXU passes as the unpacked
+    # form (the second symbol rides in the (8,128) systolic padding the
+    # narrow matrices waste anyway) and the cross-block tail columns of
+    # the packed TX matrix keep the ISI carry a sublane roll.  Non-fold
+    # "mm" (ZP) and "taps"/"mm4" stay unpacked.
     pack = 1
-    if conv == "diag":
+    if conv == "diag" or (conv == "mm" and _fold_for(cfg)):
         while (
             pack * 2 * cfg.num_subcarriers <= 128
             and tile % (pack * 2) == 0
@@ -654,6 +661,31 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
             # (T+E, T) Toeplitz + (T, n) RX pair (linops.conv_rx_merged;
             # AWGN moves to the frequency bins, exactly distributed).
             cmrx = linops.conv_rx_merged(s.taps, n, cfg.prefix_type, L)
+            if spec.pack > 1:
+                # Lane packing: block-diagonal matmuls cost the same MXU
+                # passes as the unpacked narrow form (the extra symbols
+                # ride in the (8,128) systolic padding).  The packed TX
+                # matrix emits each block q's ext lanes from block
+                # (q-1) mod P's spectrum — so within a row every symbol's
+                # ISI tail is already in place, block 0's ext holds block
+                # P-1's tail (consumed, after the sublane roll, as the
+                # previous ROW's last-symbol tail), and the cross-row
+                # carry stays a roll + select like the unpacked kernel.
+                Pq, TEw = spec.pack, T + E
+                fr0, fi0 = ftx
+                frp = np.zeros((Pq * n, Pq * TEw), np.float64)
+                fip = np.zeros_like(frp)
+                for q in range(Pq):
+                    rows = slice(q * n, (q + 1) * n)
+                    frp[rows, q * TEw : q * TEw + T] = fr0
+                    fip[rows, q * TEw : q * TEw + T] = fi0
+                    if E:
+                        prev = ((q - 1) % Pq) * n
+                        prows = slice(prev, prev + n)
+                        frp[prows, q * TEw + T : (q + 1) * TEw] = fr0[:, T - E : T]
+                        fip[prows, q * TEw + T : (q + 1) * TEw] = fi0[:, T - E : T]
+                fr, fi = frp, fip
+                cmrx = np.kron(np.eye(spec.pack), cmrx)
             consts = _complex_matrix_consts(
                 fr, fi, spec.passes, quad
             ) + _complex_matrix_consts(cmrx.real, cmrx.imag, spec.passes, quad)
@@ -669,6 +701,9 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         from ofdm_tpu.ops.dft import dft_matrix
 
         fi_r, fi_i = dft_matrix(n, inverse=True)
+        if spec.pack > 1:
+            eye = np.eye(spec.pack)
+            fi_r, fi_i = np.kron(eye, fi_r), np.kron(eye, fi_i)
         consts = consts + _complex_matrix_consts(fi_r, fi_i, spec.passes, quad)
 
     # Per-lane constant rows; lane packing tiles each row `pack` times so
@@ -858,10 +893,12 @@ def _fn_for_spec(spec: _Spec):
     TE = T + ext  # width of the TX output / prev planes / carry rows
     # taps mode reads full previous rows; mm mode only the ext tail lanes.
     need_prev = (conv_taps and ctaps > 1) or ext > 0
-    # Lane packing (diag only — see _Spec.pack): P symbols per plane row.
+    # Lane packing (diag + fold modes — see _Spec.pack): P symbols per
+    # plane row.  CW is the packed time-plane / carry-row width.
     P = spec.pack
     ROWS = TILE // P  # plane rows per grid step (still TILE symbols)
     W = P * n  # frequency-plane width
+    CW = P * TE  # time-plane width == carry row width
     has_mseg = P > 1 and method == EqualizationMethod.MMSE
 
     def kernel(
@@ -943,13 +980,18 @@ def _fn_for_spec(spec: _Spec):
         # reduction arithmetic's cost from the accumulation serialization.
         abl_noacc = "noacc" in abl
 
-        # mm-mode lane mask: data lanes (< T) vs duplicated ext tail lanes.
-        # Used by both the PAPR masking and the conv activation select.
-        lane_t = (
-            jax.lax.broadcasted_iota(jnp.int32, (TILE, TE), 1) < T
-            if ext
-            else None
-        )
+        # mm-mode lane masks: data lanes ((lane mod TE) < T) vs ext tail
+        # lanes.  `lane_t` masks PAPR to data lanes; `take_prev` selects
+        # the previous-row plane on the FIRST packed block's ext lanes
+        # only — blocks q >= 1 already carry block q-1's tail, emitted by
+        # the packed TX matrix's cross-block ext columns.
+        lane_t = take_prev = None
+        if ext:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, CW), 1)
+            lane_t = lane < T
+            for q in range(1, P):
+                lane_t = lane_t | ((lane >= q * TE) & (lane < q * TE + T))
+            take_prev = (lane >= T) & (lane < TE)
         strided_papr = diag and spec.pstride > 1
         if abl_notx:
             strided_papr = True  # skip the unconditional TX/carry writes below
@@ -957,8 +999,8 @@ def _fn_for_spec(spec: _Spec):
             def _():
                 pmax_ref[0, 0] = 0.0
                 psum_ref[0, 0] = 0.0
-                cout_re_ref[0, :] = jnp.zeros((TE,), jnp.float32)
-                cout_im_ref[0, :] = jnp.zeros((TE,), jnp.float32)
+                cout_re_ref[0, :] = jnp.zeros((CW,), jnp.float32)
+                cout_im_ref[0, :] = jnp.zeros((CW,), jnp.float32)
         elif strided_papr:
             @pl.when((i & (spec.pstride - 1)) == 0)
             def _():
@@ -975,15 +1017,10 @@ def _fn_for_spec(spec: _Spec):
                 )
                 psum_ref[0, 0] = jnp.where(first, ps, psum_ref[0, 0] + ps)
                 # Carry rows are vestigial in diag mode (no cross-symbol
-                # ISI path consumes them) but the output must be written.
-                # Packed layouts: the tile's last symbol is the last T
-                # lanes of the last packed row.
-                if P > 1:
-                    cout_re_ref[0, :] = xr[ROWS - 1, (P - 1) * T :]
-                    cout_im_ref[0, :] = xi[ROWS - 1, (P - 1) * T :]
-                else:
-                    cout_re_ref[0, :] = xr[TILE - 1, :]
-                    cout_im_ref[0, :] = xi[TILE - 1, :]
+                # ISI path consumes them) but the output must be written
+                # (the raw last packed row; fn() slices the last symbol).
+                cout_re_ref[0, :] = xr[ROWS - 1, :]
+                cout_im_ref[0, :] = xi[ROWS - 1, :]
         else:
             xr, xi = _cmatmul(sr, si, tuple(c[:] for c in ftx_c), passes, quad)
 
@@ -1012,7 +1049,7 @@ def _fn_for_spec(spec: _Spec):
         if need_prev:
             pxr = pltpu.roll(xr, 1, 0)
             pxi = pltpu.roll(xi, 1, 0)
-            first = jax.lax.broadcasted_iota(jnp.int32, (TILE, TE), 0) == 0
+            first = jax.lax.broadcasted_iota(jnp.int32, (ROWS, CW), 0) == 0
 
             @pl.when(i == 0)
             def _():
@@ -1060,21 +1097,22 @@ def _fn_for_spec(spec: _Spec):
             # mode the staged matrix is (TE, n) conv_rx_merged, so the
             # output is already the DFT'd, guard-stripped frequency block.
             if ext:
-                actr = jnp.where(lane_t, xr, prev_re[:])
-                acti = jnp.where(lane_t, xi, prev_im[:])
+                # Previous-symbol tail lanes: block 0's ext from the
+                # previous ROW's plane; blocks q >= 1 already hold block
+                # q-1's tail in x itself (packed TX cross-block columns).
+                actr = jnp.where(take_prev, prev_re[:], xr)
+                acti = jnp.where(take_prev, prev_im[:], xi)
             else:
                 actr, acti = xr, xi
             yr, yi = _cmatmul(actr, acti, tuple(c[:] for c in cv_c), passes, quad)
-        # stash this tile's last row as the next tile's carry (strided diag
-        # writes it inside the sampled-tile block above; packed diag planes
-        # have no (1, TE) last time row — carry is vestigial there)
+        # stash this tile's raw last row as the next tile's carry (strided
+        # diag writes it inside the sampled-tile block above).  In packed
+        # fold mode the row's block-0 ext lanes hold block P-1's tail —
+        # exactly what the next tile's first-block select consumes — and
+        # fn() slices the external (T,) carry from block P-1's data lanes.
         if not strided_papr:
-            if P > 1:
-                cout_re_ref[0, :] = xr[ROWS - 1, (P - 1) * T :]
-                cout_im_ref[0, :] = xi[ROWS - 1, (P - 1) * T :]
-            else:
-                cout_re_ref[0, :] = xr[TILE - 1, :]
-                cout_im_ref[0, :] = xi[TILE - 1, :]
+            cout_re_ref[0, :] = xr[ROWS - 1, :]
+            cout_im_ref[0, :] = xi[ROWS - 1, :]
 
         # --- AWGN -------------------------------------------------------------
         # fold mode adds the noise per frequency bin (width n, not T):
@@ -1219,8 +1257,8 @@ def _fn_for_spec(spec: _Spec):
         jax.ShapeDtypeStruct((1, 1), jnp.int32),  # symbol errors
         jax.ShapeDtypeStruct((1, 1), jnp.float32),  # papr max
         jax.ShapeDtypeStruct((1, 1), jnp.float32),  # papr sum
-        jax.ShapeDtypeStruct((1, TE), jnp.float32),  # carry out re
-        jax.ShapeDtypeStruct((1, TE), jnp.float32),  # carry out im
+        jax.ShapeDtypeStruct((1, CW), jnp.float32),  # carry out re (raw row)
+        jax.ShapeDtypeStruct((1, CW), jnp.float32),  # carry out im
     )
     # Scalar accumulators live in SMEM (VMEM refs reject scalar stores).
     out_specs = tuple(
@@ -1229,7 +1267,7 @@ def _fn_for_spec(spec: _Spec):
             lambda i: (0, 0),
             memory_space=pltpu.SMEM if shape == (1, 1) else pltpu.VMEM,
         )
-        for shape in [(1, 1), (1, 1), (1, 1), (1, 1), (1, TE), (1, TE)]
+        for shape in [(1, 1), (1, 1), (1, 1), (1, 1), (1, CW), (1, CW)]
     )
 
     call = pl.pallas_call(
@@ -1239,8 +1277,8 @@ def _fn_for_spec(spec: _Spec):
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((TILE, TE), jnp.float32),  # prev_re
-            pltpu.VMEM((TILE, TE), jnp.float32),  # prev_im
+            pltpu.VMEM((ROWS, CW), jnp.float32),  # prev_re
+            pltpu.VMEM((ROWS, CW), jnp.float32),  # prev_im
         ],
         # CPU test coverage via the Mosaic emulator (plain interpret=True
         # cannot lower prng_seed on cpu); tests/test_pallas_link.py.
@@ -1266,11 +1304,14 @@ def _fn_for_spec(spec: _Spec):
         if ext:
             # External carry contract stays (T,); the kernel's carry rows
             # carry the ext (duplicated-tail) layout the TX plane uses.
-            cre_in = jnp.concatenate([carry.re, carry.re[T - ext :]]).reshape(1, TE)
-            cim_in = jnp.concatenate([carry.im, carry.im[T - ext :]]).reshape(1, TE)
+            base_re = jnp.concatenate([carry.re, carry.re[T - ext :]])
+            base_im = jnp.concatenate([carry.im, carry.im[T - ext :]])
         else:
-            cre_in = carry.re.reshape(1, T)
-            cim_in = carry.im.reshape(1, T)
+            base_re, base_im = carry.re, carry.im
+        # Packed rows tile the carry across blocks (only block 0's ext
+        # lanes are consumed by the first-row select).
+        cre_in = jnp.tile(base_re, spec.pack).reshape(1, CW)
+        cim_in = jnp.tile(base_im, spec.pack).reshape(1, CW)
         be, se, pmax, psum, cre, cim = call(
             data,
             jnp.asarray(snr_db, jnp.float32).reshape(1),
@@ -1289,7 +1330,10 @@ def _fn_for_spec(spec: _Spec):
             "papr_sum": psum[0, 0],
             "papr_count": jnp.asarray(sampled_tiles * TILE * T, jnp.float32),
         }
-        return stats, CArray(cre[0, :T], cim[0, :T])
+        # The raw last packed row's block P-1 data lanes ARE the stream's
+        # last time row (the external carry contract).
+        off = (spec.pack - 1) * TE
+        return stats, CArray(cre[0, off : off + T], cim[0, off : off + T])
 
     return fn
 

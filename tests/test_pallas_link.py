@@ -90,6 +90,16 @@ def _run_kernel(runner, snr=30.0, key=0):
              constellation_type=ConstellationType.PSK,
              modulation_type=ModulationType.SC_OFDM,
              equalization_method=EqualizationMethod.ZF),
+        # Short guards (CP < channel order): REAL cross-symbol ISI through
+        # the packed fold kernel's cross-block ext columns + row carry.
+        dict(noise_type=NoiseType.NONE, equalization_method=EqualizationMethod.ZF,
+             prefix_length_ratio=0.34),
+        dict(noise_type=NoiseType.NONE, constellation_order=16,
+             channel_model="severe_multipath", prefix_length_ratio=0.5,
+             equalization_method=EqualizationMethod.ZF),
+        dict(noise_type=NoiseType.NONE, constellation_order=4,
+             modulation_type=ModulationType.SC_OFDM, prefix_length_ratio=0.34,
+             equalization_method=EqualizationMethod.ZF),
     ],
 )
 def test_kernel_linear_chain_round_trip(kw):
@@ -622,10 +632,16 @@ def test_pack_selected_for_narrow_diag():
     spec32 = pallas_link._spec_for(r32, 1024, True)
     assert spec32.conv == "diag" and spec32.pack == 4
 
-    # Short guard (CP < channel order): fold mode, no packing.
+    # Short guard (CP < channel order): fold mode packs too (cross-block
+    # ext columns keep the ISI carry a sublane roll).
     rs = _runner(prefix_length_ratio=0.34)
     specs = pallas_link._spec_for(rs, 1024, True)
-    assert specs.conv != "diag" and specs.pack == 1
+    assert specs.conv == "mm" and specs.fold and specs.pack == 2
+
+    # ZP keeps the 3-matmul chain (no fold) and does not pack.
+    rz = _runner(prefix_type=PrefixType.ZERO)
+    specz = pallas_link._spec_for(rz, 1024, True)
+    assert not specz.fold and specz.pack == 1
 
 
 def test_packed_kernel_matches_unpacked_stats():
