@@ -539,9 +539,11 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
     # form (the second symbol rides in the (8,128) systolic padding the
     # narrow matrices waste anyway) and the cross-block tail columns of
     # the packed TX matrix keep the ISI carry a sublane roll.  Non-fold
-    # "mm" (ZP) and "taps"/"mm4" stay unpacked.
+    # "mm" (ZP) packs the same way: its block-diag conv matmul costs ~2x
+    # the unpacked MXU passes, but narrow kernels are VPU-bound so
+    # halving lane waste still wins.  "taps"/"mm4" (wide) stay unpacked.
     pack = 1
-    if conv == "diag" or (conv == "mm" and _fold_for(cfg)):
+    if conv in ("diag", "mm"):
         while (
             pack * 2 * cfg.num_subcarriers <= 128
             and tile % (pack * 2) == 0
@@ -652,49 +654,54 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         # tail columns so the kernel can build the [x | tail(prev)] activation
         # with a sublane roll + lane select (no lane slicing).
         E = spec.ext
-        fr, fi = ftx
-        if E:
-            fr = np.concatenate([fr, fr[:, T - E :]], axis=1)
-            fi = np.concatenate([fi, fi[:, T - E :]], axis=1)
+        if spec.pack > 1:
+            # Lane packing: block-diagonal matmuls on packed planes.  The
+            # packed TX matrix emits each block q's ext lanes from block
+            # (q-1) mod P's spectrum — so within a row every symbol's ISI
+            # tail is already in place at the matmul itself, block 0's ext
+            # holds block P-1's tail (consumed, after the sublane roll, as
+            # the previous ROW's last-symbol tail), and the cross-row
+            # carry stays a roll + select like the unpacked kernel.
+            Pq, TEw = spec.pack, T + E
+            fr0, fi0 = ftx
+            fr = np.zeros((Pq * n, Pq * TEw), np.float64)
+            fi = np.zeros_like(fr)
+            for q in range(Pq):
+                rows = slice(q * n, (q + 1) * n)
+                fr[rows, q * TEw : q * TEw + T] = fr0
+                fi[rows, q * TEw : q * TEw + T] = fi0
+                if E:
+                    prev = ((q - 1) % Pq) * n
+                    prows = slice(prev, prev + n)
+                    fr[prows, q * TEw + T : (q + 1) * TEw] = fr0[:, T - E : T]
+                    fi[prows, q * TEw + T : (q + 1) * TEw] = fi0[:, T - E : T]
+        else:
+            fr, fi = ftx
+            if E:
+                fr = np.concatenate([fr, fr[:, T - E :]], axis=1)
+                fi = np.concatenate([fi, fi[:, T - E :]], axis=1)
         if spec.fold:
             # conv folded into RX: ONE (T+E, n) matrix replaces the
             # (T+E, T) Toeplitz + (T, n) RX pair (linops.conv_rx_merged;
             # AWGN moves to the frequency bins, exactly distributed).
             cmrx = linops.conv_rx_merged(s.taps, n, cfg.prefix_type, L)
             if spec.pack > 1:
-                # Lane packing: block-diagonal matmuls cost the same MXU
-                # passes as the unpacked narrow form (the extra symbols
-                # ride in the (8,128) systolic padding).  The packed TX
-                # matrix emits each block q's ext lanes from block
-                # (q-1) mod P's spectrum — so within a row every symbol's
-                # ISI tail is already in place, block 0's ext holds block
-                # P-1's tail (consumed, after the sublane roll, as the
-                # previous ROW's last-symbol tail), and the cross-row
-                # carry stays a roll + select like the unpacked kernel.
-                Pq, TEw = spec.pack, T + E
-                fr0, fi0 = ftx
-                frp = np.zeros((Pq * n, Pq * TEw), np.float64)
-                fip = np.zeros_like(frp)
-                for q in range(Pq):
-                    rows = slice(q * n, (q + 1) * n)
-                    frp[rows, q * TEw : q * TEw + T] = fr0
-                    fip[rows, q * TEw : q * TEw + T] = fi0
-                    if E:
-                        prev = ((q - 1) % Pq) * n
-                        prows = slice(prev, prev + n)
-                        frp[prows, q * TEw + T : (q + 1) * TEw] = fr0[:, T - E : T]
-                        fip[prows, q * TEw + T : (q + 1) * TEw] = fi0[:, T - E : T]
-                fr, fi = frp, fip
                 cmrx = np.kron(np.eye(spec.pack), cmrx)
             consts = _complex_matrix_consts(
                 fr, fi, spec.passes, quad
             ) + _complex_matrix_consts(cmrx.real, cmrx.imag, spec.passes, quad)
         else:
+            # ZP keeps the 3-matmul chain; packed links kron every stage.
             cm = linops.conv_matrix_merged(s.taps, T)
+            rxm_r, rxm_i = rxm
+            if spec.pack > 1:
+                eye = np.eye(spec.pack)
+                cm = np.kron(eye, cm)
+                rxm_r, rxm_i = np.kron(eye, rxm_r), np.kron(eye, rxm_i)
             consts = (
                 _complex_matrix_consts(fr, fi, spec.passes, quad)
                 + _complex_matrix_consts(cm.real, cm.imag, spec.passes, quad)
-                + _complex_matrix_consts(*rxm, spec.passes, quad=quad)
+                + _complex_matrix_consts(rxm_r, rxm_i, spec.passes, quad=quad)
             )  # 3 complex matrices x (2 | 3 | 6) bf16 splits
     if spec.is_sc:
         # SC-FDE RX back-end: equalized bins -> time symbols via one IDFT.
@@ -1121,7 +1128,7 @@ def _fn_for_spec(spec: _Spec):
         # and mean power over the n kept bins equals the time-domain mean
         # by Parseval (same per-tile estimator contract as before).
         if add_noise:
-            nshape = (ROWS, W) if fold else (TILE, T)
+            nshape = (ROWS, W) if fold else (ROWS, P * T)
             mp_ = jnp.mean(yr * yr + yi * yi)
             sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
             rbits = pltpu.bitcast(pltpu.prng_random_bits(nshape), jnp.int32)

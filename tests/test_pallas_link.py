@@ -100,6 +100,10 @@ def _run_kernel(runner, snr=30.0, key=0):
         dict(noise_type=NoiseType.NONE, constellation_order=4,
              modulation_type=ModulationType.SC_OFDM, prefix_length_ratio=0.34,
              equalization_method=EqualizationMethod.ZF),
+        # ZP with a short guard: the packed 3-matmul chain (overlap-add in
+        # the block-diagonal RX) with real ISI.
+        dict(noise_type=NoiseType.NONE, equalization_method=EqualizationMethod.ZF,
+             prefix_type=PrefixType.ZERO, prefix_length_ratio=0.34),
     ],
 )
 def test_kernel_linear_chain_round_trip(kw):
@@ -638,10 +642,10 @@ def test_pack_selected_for_narrow_diag():
     specs = pallas_link._spec_for(rs, 1024, True)
     assert specs.conv == "mm" and specs.fold and specs.pack == 2
 
-    # ZP keeps the 3-matmul chain (no fold) and does not pack.
+    # ZP keeps the 3-matmul chain (no fold) but packs it block-diagonally.
     rz = _runner(prefix_type=PrefixType.ZERO)
     specz = pallas_link._spec_for(rz, 1024, True)
-    assert not specz.fold and specz.pack == 1
+    assert not specz.fold and specz.pack == 2
 
 
 def test_packed_kernel_matches_unpacked_stats():
