@@ -98,7 +98,11 @@ _VMEM_STAGED_LIMIT = 40_000_000
 # config measured 97.4M OFDM syms/s marginal at tile=1024 vs 107.3M at
 # 4096 (~10% — per-grid-step overhead amortization; under the old 16 MB
 # default, 2048 measured *slower* from VMEM pressure and 4096 OOM'd).
-_TILE_LADDER = (4096, 2048, 1024, 512, 256, 128, 64, 32)
+# With lane packing halving the plane rows, tile=8192 measured a further
+# +14% on the packed headline (456.2 -> 519.3M syms/s marginal,
+# 2026-08-19) while 16384 regressed to 482.5M (VMEM pressure) — the
+# ladder tops out at 8192.
+_TILE_LADDER = (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32)
 _ACT_ROWS_MM = 14  # measured ~13 live (tile, TE) f32 planes w/ AWGN + margin
 _ACT_ROWS_TAPS = 4  # the tap loop keeps shifted planes live as well
 _MAX_KERNEL_TAPS = 16

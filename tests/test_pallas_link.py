@@ -289,8 +289,8 @@ def test_plan_shrinks_for_wide_configs():
     set), so 1024-subcarrier links keep full Karatsuba matmuls and only
     ~2048-subcarrier links need the reduced-staging mm4 form.
     """
-    assert pallas_link._plan(67, 64, 1, False, 4) == (4096, "mm")
-    assert pallas_link._plan(67, 64, 3, False, 4) == (4096, "mm")
+    assert pallas_link._plan(67, 64, 1, False, 4) == (8192, "mm")
+    assert pallas_link._plan(67, 64, 3, False, 4) == (8192, "mm")
     assert pallas_link._plan(523, 512, 1, False, 12) == (2048, "mm")
     # 1024 sc fits Karatsuba at tile=512 under the raised VMEM limit
     # (stage set ~19 MB + 14 live (512, 1038) f32 planes ~30 MB).
@@ -468,7 +468,7 @@ def test_plan_mm4_extends_width_past_karatsuba():
     measured slower than the XLA path, see _VMEM_STAGED_LIMIT)."""
     assert pallas_link._plan(1536 + 7, 1536, 1, False, 8) == (256, "mm4")
     # Karatsuba widths keep the mm plan.
-    assert pallas_link._plan(67, 64, 1, False, 4) == (4096, "mm")
+    assert pallas_link._plan(67, 64, 1, False, 4) == (8192, "mm")
     assert pallas_link._plan(1024 + 15, 1024, 1, False, 16) == (512, "mm")
     # mm4 is a passes=1 form only; bf16x3 at mm4-only widths is off-kernel.
     assert pallas_link._plan(1536 + 7, 1536, 3, False, 8) is None
@@ -529,7 +529,7 @@ def test_papr_stride_samples_tx_plane_without_touching_errors():
     papr_count reflects the sampled tiles, and (with the emulator's
     deterministic all-zero PRNG making every tile identical) the sampled
     peak/mean equal the full-sampling values exactly."""
-    num_syms = 8192  # tile=4096 -> 2 grid steps
+    num_syms = 16384  # tile=8192 -> 2 grid steps
 
     def run(stride):
         runner = _runner(
@@ -563,8 +563,8 @@ def test_papr_stride_samples_tx_plane_without_touching_errors():
 
     # papr_count: all tiles vs ceil(2/2) = 1 tile.
     T = spec_full.T
-    assert float(full["papr_count"]) == 2 * 4096 * T
-    assert float(half["papr_count"]) == 1 * 4096 * T
+    assert float(full["papr_count"]) == 2 * 8192 * T
+    assert float(half["papr_count"]) == 1 * 8192 * T
 
     # Identical tiles (zeroed PRNG) -> identical peak and per-sample mean.
     np.testing.assert_allclose(
