@@ -723,6 +723,29 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         r = np.asarray(a, dtype).reshape(1, n)
         return np.tile(r, (1, spec.pack)) if spec.pack > 1 else r
 
+    # Slicer-units gain (0.5/scale per lane, see _demap_tile): folded into
+    # the ZF gain rows here (and into the MMSE divide's numerator /
+    # no-equalizer passthrough in the kernel) so the QAM demap needs no
+    # per-bin divide or affine chain.
+    if spec.mode == "qam":
+        from ofdm_tpu.ops.mapping import make_constellation
+
+        slicer = 0.5 / make_constellation("QAM", cfg.constellation_order).scale
+    elif spec.mode == "aqam":
+        from ofdm_tpu.ops.mapping import make_constellation
+
+        orders = s.amap.orders
+        active = orders > 0
+        aq_scales = np.zeros(n, dtype=np.float64)
+        for k_, o in enumerate(orders):
+            if o > 0:
+                aq_scales[k_] = make_constellation("QAM", int(o)).scale
+        slicer = 0.5 * np.where(
+            active, 1.0 / np.where(aq_scales == 0, 1.0, aq_scales), 1.0
+        )
+    else:
+        slicer = None  # PSK demap is scale-invariant
+
     h = s.h_freq.astype(np.complex128)
     consts.append(_row(h.real))
     consts.append(_row(h.imag))
@@ -732,6 +755,8 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
     # huge (not zero) symbols — matching the XLA path's intent exactly.
     h_z = np.where(h == 0, np.complex128(1e-10), h)
     zf_g = 1.0 / h_z
+    if spec.method == EqualizationMethod.ZF and slicer is not None:
+        zf_g = zf_g * slicer
     consts.append(_row(zf_g.real))
     consts.append(_row(zf_g.imag))
     if spec.pack > 1 and spec.method == EqualizationMethod.MMSE:
@@ -746,25 +771,17 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
 
     if spec.mode == "aqam":
         # Per-subcarrier order parameters as (1, n) lane rows.  Inactive
-        # subcarriers (order 0) get mask=0, m=1, logm=0, scale=0, inv=1:
-        # tx and rx indices then both evaluate to 0 with no bit errors —
-        # no separate "active" row is needed.
-        orders = s.amap.orders
-        active = orders > 0
+        # subcarriers (order 0) get mask=0, m=1, logm=0, scale=0, and a
+        # slicer-gain row of 0.5: tx and rx indices then both evaluate to
+        # 0 with no bit errors — no separate "active" row is needed.
         m_side = np.where(active, np.round(np.sqrt(np.maximum(orders, 1))), 1).astype(np.int64)
         logm = np.where(active, np.round(np.log2(np.maximum(m_side, 1))), 0).astype(np.int64)
-        from ofdm_tpu.ops.mapping import make_constellation
-
-        scales = np.zeros(n, dtype=np.float64)
-        for k, o in enumerate(orders):
-            if o > 0:
-                scales[k] = make_constellation("QAM", int(o)).scale
-        inv_scale = np.where(active, 1.0 / np.where(scales == 0, 1.0, scales), 1.0)
         consts.append(_row(np.where(active, orders - 1, 0), np.int32))
         consts.append(_row(m_side, np.int32))
         consts.append(_row(logm, np.int32))
-        consts.append(_row(scales))
-        consts.append(_row(inv_scale))
+        consts.append(_row(aq_scales))
+        # The pre-halved slicer gain row (0.5/scale; see _demap_tile).
+        consts.append(_row(slicer))
 
     channel_gain = np.asarray([np.mean(np.abs(h) ** 2)], np.float32)  # SMEM scalar
     head = [jnp.asarray(channel_gain)]
@@ -844,15 +861,21 @@ def _encode_tile(spec: _Spec, raw, aq):
 def _demap_tile(spec: _Spec, er, ei, aq):
     """Equalized points -> rx indices (O(1) arith slicer / PSK sector).
 
-    ``aq`` = (mrow, logm, inv_scale) loaded rows for adaptive QAM."""
+    QAM/adaptive-QAM inputs arrive in SLICER UNITS: the 0.5/scale factor
+    is folded into the equalizer stage upstream (the MMSE divide's
+    numerator / host-pre-scaled ZF gain rows — zero extra ops there), so
+    the slicer is one add + round + convert per axis with FREE int32
+    clips, instead of a per-bin divide plus the affine chain.  PSK demap
+    is scale-invariant and takes raw symbols.
+
+    ``aq`` = (mrow, logm) loaded rows for adaptive QAM."""
     bits = spec.bits
     if spec.mode == "aqam":
-        mrow, lrow, invs = aq
-        xs = er * invs
-        ys = ei * invs
+        mrow, lrow = aq
         mf = mrow.astype(jnp.float32)
-        cc = jnp.clip(jnp.round((xs + (mf - 1.0)) * 0.5), 0.0, mf - 1.0).astype(jnp.int32)
-        rr = jnp.clip(jnp.round(((mf - 1.0) - ys) * 0.5), 0.0, mf - 1.0).astype(jnp.int32)
+        c0 = (mf - 1.0) * 0.5  # (1, W) row math — negligible
+        cc = jnp.clip(jnp.round(er + c0).astype(jnp.int32), 0, mrow - 1)
+        rr = jnp.clip(jnp.round(c0 - ei).astype(jnp.int32), 0, mrow - 1)
         pp = rr * mrow + cc
         j = _inv_gray_static(pp, bits)
         rowj = j >> lrow
@@ -860,11 +883,10 @@ def _demap_tile(spec: _Spec, er, ei, aq):
         colzj = jnp.where((rowj & 1) == 1, mrow - 1 - colj, colj)
         return (rowj << lrow) | colzj
     if spec.mode == "qam":
-        m_side, logm, scale = _qam_geometry(spec.order)
-        xs = er / scale
-        ys = ei / scale
-        cc = jnp.clip(jnp.round((xs + (m_side - 1)) * 0.5), 0, m_side - 1).astype(jnp.int32)
-        rr = jnp.clip(jnp.round(((m_side - 1) - ys) * 0.5), 0, m_side - 1).astype(jnp.int32)
+        m_side, logm, _ = _qam_geometry(spec.order)
+        c0 = np.float32((m_side - 1) * 0.5)
+        cc = jnp.clip(jnp.round(er + c0).astype(jnp.int32), 0, m_side - 1)
+        rr = jnp.clip(jnp.round(c0 - ei).astype(jnp.int32), 0, m_side - 1)
         pp = rr * m_side + cc
         if not spec.is_gray:
             return pp
@@ -1156,7 +1178,17 @@ def _fn_for_spec(spec: _Spec):
             fr, fi_ = _cmatmul(yr, yi, tuple(c[:] for c in rx_c), passes, quad)
 
         # --- equalize ---------------------------------------------------------------
+        # Slicer-units gain folded into the equalizer (see _demap_tile):
+        # QAM scales by 0.5/scale (trace-time scalar), adaptive QAM by the
+        # pre-halved per-lane inv-scale row, PSK not at all.
+        if spec.mode == "qam":
+            slicer_k = np.float32(0.5 / _qam_geometry(spec.order)[2])
+        elif is_aqam:
+            slicer_k = None  # invs_ref rows (already 0.5/scale per lane)
+        else:
+            slicer_k = np.float32(1.0)
         if method == EqualizationMethod.ZF:
+            # ZF gain rows arrive pre-scaled to slicer units (host side).
             gr = zfgr_ref[:]
             gi = zfgi_ref[:]
             er = fr * gr - fi_ * gi
@@ -1177,11 +1209,19 @@ def _fn_for_spec(spec: _Spec):
             else:
                 sp = jnp.mean(fr * fr + fi_ * fi_, axis=1, keepdims=True)  # (Bt, 1)
             nv = sp / snr_lin / cg_ref[0]
-            g = 1.0 / (habs2_ref[:] + nv)
+            # The slicer gain rides the divide's numerator — zero extra ops.
+            g = (invs_ref[:] if slicer_k is None else slicer_k) / (
+                habs2_ref[:] + nv
+            )
             er = (fr * hre + fi_ * him) * g
             ei = (fi_ * hre - fr * him) * g
         else:
-            er, ei = fr, fi_
+            if slicer_k is None:
+                er, ei = fr * invs_ref[:], fi_ * invs_ref[:]
+            elif spec.mode == "qam":
+                er, ei = fr * slicer_k, fi_ * slicer_k
+            else:
+                er, ei = fr, fi_
 
         if is_sc:
             # SC-FDE: equalized frequency bins -> time-domain symbols.
@@ -1193,9 +1233,7 @@ def _fn_for_spec(spec: _Spec):
             )
 
         # --- demap (arith slicer) + error counts --------------------------------------
-        aq_dec = (
-            (mrow_ref[:], logm_ref[:], invs_ref[:]) if is_aqam else None
-        )
+        aq_dec = (mrow_ref[:], logm_ref[:]) if is_aqam else None
         rx_idx = tx_idx if abl_nodemap else _demap_tile(spec, er, ei, aq_dec)
 
         if abl_nored:
