@@ -124,3 +124,71 @@ def test_noise_path_moments_on_hardware():
             # 24-bit u1 caps the radius at sqrt(-2 ln 2^-24) = 5.77.
             assert 4.0 < m[plane]["amax"] <= 5.78, (variant, plane, m)
         assert abs(m["corr"]) < 2e-3, (variant, m)
+
+
+_PACK_BER_SCRIPT = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+import jax
+import jax.numpy as jnp
+
+from ofdm_tpu.config import SimulationConfig
+from ofdm_tpu.pipeline import LinkRunner, prepare
+from ofdm_tpu.ops import pallas_link
+
+cfg = SimulationConfig(
+    num_symbols=64 * (1 << 22),
+    num_subcarriers=64,
+    constellation_order=64,
+    channel_type="CUSTOM",
+    channel_model="Lin-Phoong_P2",
+    prefix_type="CYCLIC",
+    prefix_length_ratio=1.0,
+    equalization_method="MMSE",
+    snr_db=30.0,
+    symbols_per_chunk=1 << 17,
+)
+runner = LinkRunner(prepare(cfg))
+key = jax.random.PRNGKey(7)
+n_chunk = 1 << 17
+
+out = {{}}
+for label, force_pack in (("packed", None), ("unpacked", 1)):
+    lifted = pallas_link.make_pallas_chunk_lifted(runner, n_chunk, False)
+    fn, consts, spec = lifted
+    if force_pack is not None:
+        spec = spec._replace(pack=force_pack)
+        fn = pallas_link._fn_for_spec(spec)
+        consts = pallas_link._consts_for(runner, spec)
+    jfn = jax.jit(fn)
+    carry = runner._init_carry()
+    bits = errs = 0
+    for c in range(32):
+        stats, carry = jfn(
+            jax.random.fold_in(key, c), carry, jnp.float32(30.0),
+            jnp.ones(64, jnp.float32), consts,
+        )
+        errs += int(stats["bit_errors"])
+        bits += n_chunk * 6
+    out[label] = {{"pack": spec.pack, "errors": errs, "bits": bits}}
+print(json.dumps(out))
+"""
+
+
+def test_packed_kernel_ber_matches_unpacked_on_hardware():
+    """Under REAL hardware PRNG + AWGN, the packed kernel's BER equals the
+    forced pack=1 kernel's within the Wilson interval at 25M bits — the
+    lane-packed layout changes the PRNG stream consumption but not the
+    statistics (interpret-mode CI only covers the zero-PRNG chain)."""
+    from ofdm_tpu.ops import metrics
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = _run_on_tpu(_PACK_BER_SCRIPT.format(repo=repo))
+    assert res["packed"]["pack"] > 1
+    assert res["unpacked"]["pack"] == 1
+    assert metrics.ber_equivalent(
+        res["packed"]["errors"],
+        res["packed"]["bits"],
+        res["unpacked"]["errors"],
+        res["unpacked"]["bits"],
+    ), res
