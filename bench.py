@@ -131,6 +131,37 @@ def main() -> int:
     except Exception:
         pass
 
+    # Tertiary (diagnostic, non-scoring): the reference's DEFAULT config —
+    # SC-FDE QPSK, Lin-Phoong P1, ZF — on the fused kernel (fold-mode lane
+    # packing).  Guarded like the wide diagnostic.
+    scfde_rate = scfde_ber = None
+    try:
+        from ofdm_tpu.config import ModulationType
+
+        sc_n = 1 << 29  # 537M OFDM symbols (68.7G bits/run at QPSK)
+        sc_cfg = SimulationConfig(
+            num_symbols=64 * sc_n,
+            num_subcarriers=64,
+            constellation_order=4,
+            constellation_type=ConstellationType.QAM,
+            channel_type=ChannelType.CUSTOM,
+            channel_model="Lin-Phoong_P1",
+            modulation_type=ModulationType.SC_OFDM,
+            prefix_type=PrefixType.CYCLIC,
+            prefix_length_ratio=1.0,
+            equalization_method=EqualizationMethod.ZF,
+            snr_db=10.0,
+            symbols_per_chunk=1 << 17,
+        )
+        sc_runner = LinkRunner(prepare(sc_cfg))
+        sc_runner.run(key, snr_db=10.0)  # compile
+        for rep in range(2):
+            rs = sc_runner.run(jax.random.fold_in(key, 300 + rep), snr_db=10.0)
+            scfde_rate = max(scfde_rate or 0.0, rs["ofdm_symbols_per_s"])
+            scfde_ber = rs["bit_error_rate"]
+    except Exception:
+        pass
+
     # Correctness gate: BER at 30 dB must match the reference's (0.0190).
     # At 25.8G bits the Monte-Carlo CI is ~1e-6; allow 1.5e-3 for the
     # (documented) bf16-matmul/f32/per-chunk-power differences (measured
@@ -159,6 +190,12 @@ def main() -> int:
                     round(wide_rate, 1) if wide_rate is not None else None
                 ),
                 "wide_1024sc_ber_30db": wide_ber,
+                # The reference's default config (SC-FDE QPSK ZF @10 dB);
+                # its measured reference BER on this machine is ~0.0145.
+                "scfde_default_ofdm_symbols_per_s": (
+                    round(scfde_rate, 1) if scfde_rate is not None else None
+                ),
+                "scfde_default_ber_10db": scfde_ber,
                 "backend": jax.default_backend(),
             }
         )

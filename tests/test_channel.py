@@ -180,3 +180,37 @@ def test_transmit_extreme_snr_values(snr_db):
     signal_power = np.mean(np.abs(np.asarray(clean)) ** 2)
     want = signal_power * 10 ** (-snr_db / 10.0)
     assert 0.8 * want < noise_power < 1.25 * want
+
+
+def test_frequency_response_different_fft_sizes():
+    """H(n_fft) agrees with the analytic DTFT sample at every size
+    (channel/test_models.py TestGetFrequencyResponse)."""
+    taps = chm.normalize_impulse_response(chm.get_channel("Lin-Phoong_P2"))
+    for n_fft in (8, 64, 128, 1024):
+        H = chm.channel_frequency_response(taps, n_fft)
+        assert H.shape == (n_fft,)
+        k = np.arange(n_fft)
+        want = sum(
+            taps[t] * np.exp(-2j * np.pi * t * k / n_fft)
+            for t in range(len(taps))
+        )
+        np.testing.assert_allclose(H, want, atol=1e-12)
+        np.testing.assert_allclose(
+            chm.channel_gains(taps, n_fft), np.abs(H) ** 2, atol=1e-12
+        )
+
+
+def test_power_normalization_across_multiple_transmissions():
+    """Unit-energy taps keep the long-run output power equal to the input
+    power across repeated transmissions (channel/test_models.py
+    test_power_normalization_across_multiple_transmissions)."""
+    rng = np.random.default_rng(11)
+    taps = jnp.asarray(chm.normalize_impulse_response(chm.get_channel("severe_multipath")))
+    carry = None
+    in_p = out_p = 0.0
+    for _ in range(5):
+        x = rng.normal(size=(64, 40)) + 1j * rng.normal(size=(64, 40))
+        y, carry = ch.convolve_blocks(jnp.asarray(x), taps, carry)
+        in_p += float(np.sum(np.abs(x) ** 2))
+        out_p += float(np.sum(np.abs(np.asarray(y)) ** 2))
+    assert abs(out_p / in_p - 1.0) < 0.05  # unit-energy channel, large N
