@@ -104,11 +104,12 @@ def main() -> int:
     # compile can't zero the headline.
     wide_rate = wide_ber = None
     try:
-        # 2^26 OFDM symbols (412G bits): the wide run's fixed overhead is
+        # 2^27 OFDM symbols (824G bits): the wide run's fixed overhead is
         # ~0.38 s regardless of chunk count (measured 2026-08-19 by run-size
-        # differencing at 2^22 vs 2^24), so a ~4.3 s campaign keeps the wall
-        # rate within ~10% of the kernel's marginal rate.
-        wide_n = 1 << 26
+        # differencing), and the txext kernel's 39.6M syms/s marginal makes
+        # a ~3.4 s campaign necessary to keep the wall rate within ~15% of
+        # marginal.
+        wide_n = 1 << 27
         wide_cfg = SimulationConfig(
             num_symbols=1024 * wide_n,
             num_subcarriers=1024,

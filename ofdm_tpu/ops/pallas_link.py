@@ -506,6 +506,15 @@ class _Spec(NamedTuple):
     # per-bin cost halves at full lanes.  Diag-only: fold/mm modes would
     # pay pack x more MXU FLOPs on block-diagonal matmuls.
     pack: int = 1
+    # Wide-diag external PAPR: the TX matrices are MBs at >= 512
+    # subcarriers and their mere VMEM residency cost a measured 20.4
+    # ns/sym at 1024 sc even with the sampled matmul amortized to nothing
+    # (stride-256 and manual-DMA-hoist null experiments, 2026-08-19 —
+    # docs/PERFORMANCE.md).  In this mode the kernel carries NO TX
+    # matrices at all (the diag BER chain never needs them) and the
+    # runner computes the PAPR statistic from an XLA-side sampled
+    # modulate, cached once per runner (pipeline.LinkRunner._papr_sample).
+    txext: bool = False
     # Profiling-only block ablation (OFDM_TPU_KERNEL_ABLATE env var, comma
     # separated: notx, nopapr, nodemap, nored, noacc).  Produces WRONG statistics
     # by design — timing attribution only (tools/kernel_attrib.py).  Part
@@ -608,6 +617,12 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
         # marginal; wide 1024sc AWGN: 90.6 -> 64.9 -> ~52 ns/sym).
         pstride=(cfg.papr_stride or 32) if conv == "diag" else 1,
         pack=pack,
+        # papr_stride=1 is the explicit "exact in-kernel PAPR" opt-out.
+        txext=(
+            conv == "diag"
+            and cfg.num_subcarriers >= 512
+            and cfg.papr_stride != 1
+        ),
         ablate=os.environ.get("OFDM_TPU_KERNEL_ABLATE", ""),
     )
 
@@ -639,14 +654,20 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         # f32 tolerance: the kernel stages h_freq as f32 rows, so agreement
         # beyond single precision is irrelevant (d itself is f64-exact).
         assert np.allclose(d, h, rtol=1e-5, atol=1e-7), "diag != h_freq"
-        if spec.pack > 1:
-            # Lane packing: the sampled-tile TX matmul maps a (rows, p*n)
-            # packed frequency plane to a (rows, p*T) packed time plane via
-            # the block-diagonal IDFT+guard matrix — PAPR/measured-power
-            # statistics see exactly the same samples.
-            eye = np.eye(spec.pack)
-            ftx = (np.kron(eye, ftx[0]), np.kron(eye, ftx[1]))
-        consts = _complex_matrix_consts(*ftx, spec.passes)
+        if spec.txext:
+            # External PAPR (see _Spec.txext): no TX matrices in the
+            # kernel at all — the diag BER chain is elementwise and the
+            # PAPR statistic comes from the runner's sampled modulate.
+            consts = []
+        else:
+            if spec.pack > 1:
+                # Lane packing: the sampled-tile TX matmul maps a (rows,
+                # p*n) packed frequency plane to a (rows, p*T) packed time
+                # plane via the block-diagonal IDFT+guard matrix — PAPR /
+                # measured-power statistics see exactly the same samples.
+                eye = np.eye(spec.pack)
+                ftx = (np.kron(eye, ftx[0]), np.kron(eye, ftx[1]))
+            consts = _complex_matrix_consts(*ftx, spec.passes)
     elif spec.conv == "taps":
         # Wide links: the convolution runs as tap-shift FMAs (no (T, T)
         # Toeplitz matrices staged in scoped VMEM); taps ride in SMEM.
@@ -946,11 +967,13 @@ def _fn_for_spec(spec: _Spec):
             ftx_c, rx_c = refs[:ncm], refs[ncm : 2 * ncm]
             rest = refs[2 * ncm :]
         elif diag:
-            # Only the TX matrix is staged; the BER chain multiplies by the
-            # h_freq rows (unpacked below with the equalizer constants).
+            # Only the TX matrix is staged (none at all in txext mode);
+            # the BER chain multiplies by the h_freq rows (unpacked below
+            # with the equalizer constants).
             (carry_re_ref, carry_im_ref, *refs) = args
-            ftx_c = refs[:ncm]
-            rest = refs[ncm:]
+            ncm_tx = 0 if spec.txext else ncm
+            ftx_c = refs[:ncm_tx]
+            rest = refs[ncm_tx:]
         elif fold:
             # conv folded into RX: [ftx | cmrx] only (cv_c IS the RX).
             (carry_re_ref, carry_im_ref, *refs) = args
@@ -1004,7 +1027,9 @@ def _fn_for_spec(spec: _Spec):
         # Profiling-only ablations (spec.ablate; see _Spec) — each removes a
         # whole block's dependency chain so its cost can be attributed.
         abl = frozenset(filter(None, spec.ablate.split(",")))
-        abl_notx = "notx" in abl and diag  # other modes need the TX plane
+        # txext mode legitimately runs the notx shape: no TX plane in the
+        # kernel; the runner supplies the PAPR statistic (_papr_sample).
+        abl_notx = ("notx" in abl or spec.txext) and diag
         abl_nopapr = "nopapr" in abl
         abl_nodemap = "nodemap" in abl
         abl_nored = "nored" in abl
@@ -1287,7 +1312,7 @@ def _fn_for_spec(spec: _Spec):
 
     # --- pallas_call wiring ---------------------------------------------------
     ncm_out = 2 if quad else (3 if passes == 1 else 6)
-    n_cmats = 1 if diag else (2 if (conv_taps or fold) else 3)
+    n_cmats = (0 if spec.txext else 1) if diag else (2 if (conv_taps or fold) else 3)
     n_vmem_consts = (
         (n_cmats + (1 if is_sc else 0)) * ncm_out
         + 5
@@ -1371,7 +1396,7 @@ def _fn_for_spec(spec: _Spec):
             *mats,
         )
         # Strided diag PAPR: only every pstride-th tile contributes samples.
-        sampled_tiles = -(-spec.tiles // spec.pstride)  # ceil
+        sampled_tiles = 0 if spec.txext else -(-spec.tiles // spec.pstride)
         stats = {
             "bit_errors": be[0, 0],
             "symbol_errors": se[0, 0],

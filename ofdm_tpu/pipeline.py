@@ -208,6 +208,10 @@ class LinkRunner:
         # CPU (tests/test_parallel.py asserts the kernel is *selected* under
         # shard_map without TPU hardware).  Never set in production.
         self._interpret = False
+        # Cached (peak, sum, count) from the sampled XLA modulate — filled
+        # lazily when a run's kernel carried no in-kernel PAPR statistics
+        # (wide-diag txext mode; see _papr_sample).
+        self._papr_cache = None
 
     # -- engine selection -----------------------------------------------------
     @property
@@ -618,6 +622,61 @@ class LinkRunner:
                 hotpath_used = "pallas"
         return chunk, B // chunk, B % chunk, hotpath_used, matmul_passes_used
 
+    def _papr_sample(self):
+        """(peak_power, power_sum, count) from a sampled XLA modulate.
+
+        Wide-diag fused kernels carry NO TX matrices (their multi-MB VMEM
+        residency cost ~20 ns/sym at 1024 subcarriers — pallas_link._Spec
+        .txext), so the PAPR statistic is computed here instead: draw a
+        representative batch of constellation indices with the hardware
+        PRNG, modulate on the XLA planar path, and cache the running-PAPR
+        ingredients.  PAPR depends only on the TX signal distribution —
+        it is SNR-independent — so one sample serves every sweep point of
+        a runner (the reference also reports a TX-side statistic,
+        simulation/models.py:519-524; subsample semantics documented in
+        docs/PARITY.md).
+        """
+        if self._papr_cache is None:
+            s = self.setup
+            cfg = s.cfg
+            from ofdm_tpu.ops import adaptive as ad
+            from ofdm_tpu.ops import linops
+            from ofdm_tpu.ops import mapping as mp
+            from ofdm_tpu.ops import metrics as mt
+            from ofdm_tpu.ops import prng
+
+            n = cfg.num_subcarriers
+            # ~33.5M time samples (PAPR peaks grow with sample count; the
+            # subsample semantics are documented in docs/PARITY.md).
+            S = int(
+                min(
+                    max(1024, (1 << 25) // max(s.block_length, 1)),
+                    s.num_ofdm_symbols,
+                )
+            )
+            tr, ti = linops.tx_matrix(
+                n, cfg.prefix_type, s.prefix_length, cfg.modulation_type
+            )
+            wr = jnp.asarray(tr, jnp.float32)
+            wi = jnp.asarray(ti, jnp.float32)
+            if s.is_adaptive:
+                mask = jnp.asarray(ad.index_mask(s.amap))
+            else:
+                mask = jnp.uint32(cfg.constellation_order - 1)
+
+            def f(key):
+                idx = prng.uniform_indices(key, (S, n), mask)
+                if s.is_adaptive:
+                    sym = ad.encode_from_indices_planar(idx, s.amap)
+                else:
+                    sym = mp.encode_indices_planar(idx, s.const)
+                x = cplx.matmul(sym, wr, wi, passes=self.xla_matmul_passes)
+                return mt.papr_stats(x)
+
+            peak, total, count = jax.jit(f)(jax.random.PRNGKey(0x9A9))
+            self._papr_cache = (float(peak), float(total), int(count))
+        return self._papr_cache
+
     def _results(
         self,
         snr_db: float,
@@ -634,6 +693,11 @@ class LinkRunner:
         render_constellation: bool = False,
     ) -> Dict[str, Any]:
         """Assemble the reference-style results dict for one SNR point."""
+        # Wide-diag fused kernels run with external PAPR (txext): the
+        # kernel reports zero PAPR samples and the sampled XLA modulate
+        # supplies the statistic (cached across points — TX-side only).
+        if papr_count == 0 and self.setup.num_ofdm_symbols > 0:
+            papr_peak, papr_sum, papr_count = self._papr_sample()
         s = self.setup
         cfg = s.cfg
         B = s.num_ofdm_symbols

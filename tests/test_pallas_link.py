@@ -708,3 +708,55 @@ def test_packed_adaptive_kernel_zero_errors():
     stats, _ = _run_kernel(runner, snr=20.0)
     assert int(stats["bit_errors"]) == 0
     assert int(stats["symbol_errors"]) == 0
+
+
+def test_wide_diag_external_papr():
+    """>=512-subcarrier diag links carry NO TX matrices in the kernel
+    (their VMEM residency cost ~20 ns/sym — docs/PERFORMANCE.md); the
+    runner supplies the PAPR statistic from a sampled XLA modulate and
+    the BER chain is untouched."""
+    runner = pl.LinkRunner(pl.prepare(SimulationConfig(
+        num_symbols=512 * 1024,
+        num_subcarriers=512,
+        constellation_order=16,
+        channel_type=ChannelType.CUSTOM,
+        channel_model="severe_multipath",
+        prefix_type=PrefixType.CYCLIC,
+        prefix_length_ratio=1.0,
+        equalization_method=EqualizationMethod.ZF,
+        noise_type=NoiseType.NONE,
+        snr_db=30.0,
+        symbols_per_chunk=1024,
+        engine="planar",
+        hotpath="pallas",
+        matmul_passes=3,
+    )))
+    runner._interpret = True
+    spec = pallas_link._spec_for(runner, 1024, True)
+    assert spec.conv == "diag" and spec.txext
+    res = runner.run(jax.random.PRNGKey(0))
+    assert res["hotpath_used"] == "pallas"
+    assert res["bit_error_rate"] == 0.0
+    assert np.isfinite(res["papr_db"]) and 5.0 < res["papr_db"] < 20.0
+    assert 0.0 < res["papr_sample_fraction"] <= 1.0
+
+    # papr_stride=1 opts back into the exact in-kernel statistic.
+    r1 = pl.LinkRunner(pl.prepare(SimulationConfig(
+        num_symbols=512 * 1024,
+        num_subcarriers=512,
+        constellation_order=16,
+        channel_type=ChannelType.CUSTOM,
+        channel_model="severe_multipath",
+        prefix_type=PrefixType.CYCLIC,
+        prefix_length_ratio=1.0,
+        equalization_method=EqualizationMethod.ZF,
+        noise_type=NoiseType.NONE,
+        snr_db=30.0,
+        symbols_per_chunk=1024,
+        engine="planar",
+        hotpath="pallas",
+        matmul_passes=3,
+        papr_stride=1,
+    )))
+    spec1 = pallas_link._spec_for(r1, 1024, True)
+    assert spec1.conv == "diag" and not spec1.txext and spec1.pstride == 1
