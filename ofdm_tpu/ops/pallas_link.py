@@ -109,7 +109,8 @@ _MAX_KERNEL_TAPS = 16
 
 
 def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
-          allow_taps: bool = False, fold: bool = False, diag: bool = False):
+          allow_taps: bool = False, fold: bool = False, diag: bool = False,
+          diag_txext: bool = False):
     """(tile, conv_mode) whose scoped-VMEM stack estimate fits, or None.
 
     "taps" is tried only when `allow_taps`: the tap-shift kernel works at
@@ -143,8 +144,10 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
         # statistics; no conv/RX matrices are staged at all.
         # Staged estimate covers the worst-case lane-packed block-diagonal
         # TX matrix (pack^2 * n * T, pack*n <= 128) plus the MMSE segment
-        # averaging matrix (<= 128^2) — both tiny next to the budget.
-        ("diag", max(1, 128 // n) ** 2 * n * T + 128 * 128, _ACT_ROWS_MM, T, u),  # OFDM only (_diag_for)
+        # averaging matrix (<= 128^2) — both tiny next to the budget.  In
+        # external-PAPR mode (diag_txext) NO TX matrices are staged at
+        # all, so arbitrarily wide ISI-free links stay on the kernel.
+        ("diag", 128 * 128 if diag_txext else max(1, 128 // n) ** 2 * n * T + 128 * 128, _ACT_ROWS_MM, T, u),  # OFDM only (_diag_for)
         ("mm", mm_staged, _ACT_ROWS_MM, T + E, u),
         # "mm4": the same merged-conv kernel with 4-mult complex matmuls
         # (yr = xr@r - xi@i, yi = xr@i + xi@r) instead of Karatsuba — one
@@ -183,6 +186,7 @@ def plan_for(runner, passes: Optional[int] = None):
         allow_taps=cfg.hotpath == "pallas",
         fold=_fold_for(cfg),
         diag=_diag_for(cfg, s),
+        diag_txext=cfg.num_subcarriers >= 512 and cfg.papr_stride != 1,
     )
 
 
