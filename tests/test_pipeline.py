@@ -364,3 +364,27 @@ def test_adaptive_parity_with_reference():
         ours["total_bits"],
         z=3.0,
     ), (ref["bit_error_rate"], ours["bit_error_rate"])
+
+
+def test_papr_sample_estimator():
+    """LinkRunner._papr_sample: the sampled-modulate PAPR estimator (used
+    by wide-diag txext kernels) is cached, counts the samples it claims,
+    and lands in the plausible OFDM PAPR band."""
+    import jax
+
+    from ofdm_tpu import pipeline as pl
+    from ofdm_tpu.config import SimulationConfig
+    from ofdm_tpu.ops import metrics as mt
+
+    runner = pl.LinkRunner(pl.prepare(SimulationConfig(
+        num_symbols=64 * 4096,
+        num_subcarriers=64,
+        constellation_order=16,
+        channel_model="Lin-Phoong_P1",
+        snr_db=20.0,
+    )))
+    peak, total, count = runner._papr_sample()
+    assert runner._papr_sample() is runner._papr_cache  # cached
+    assert count == 4096 * runner.setup.block_length  # S capped at B
+    papr = mt.papr_db(peak, total, count)
+    assert 6.0 < papr < 16.0  # OFDM PAPR band at thousands of symbols
