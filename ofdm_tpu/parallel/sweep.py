@@ -40,7 +40,7 @@ from jax import shard_map
 from ofdm_tpu.config import SimulationConfig
 from ofdm_tpu.ops import cplx
 from ofdm_tpu.parallel.mesh import MC_AXIS, make_mesh
-from ofdm_tpu.pipeline import LinkRunner, LinkSetup, prepare, run_grid_multi
+from ofdm_tpu.pipeline import LinkRunner, LinkSetup, prepare, run_grid_multi, _acc_add, _acc_init
 
 # Shared executables for the sharded fused-kernel path, keyed on
 # (kernel spec, mesh, chunk layout) — mirrors pipeline._SHARED_JIT so a
@@ -220,28 +220,37 @@ class ShardedLinkRunner(LinkRunner):
         def f(key, carry, snr_db, sqrt_power, consts):
             idx = jax.lax.axis_index(MC_AXIS)
 
-            def body(c, i):
+            def body(cs, i):
                 # Same stream layout as the per-chunk formulation:
                 # shard key = fold_in(fold_in(run_key, chunk), shard).
+                c, acc = cs
                 k = jax.random.fold_in(jax.random.fold_in(key, i), idx)
                 stats, c2 = fn(k, c, snr_db, sqrt_power, consts)
-                return c2, stats
+                return (c2, _acc_add(acc, stats)), None
 
-            carry2, stats = jax.lax.scan(body, carry[0], jnp.arange(num_chunks))
-            stats["bit_errors"] = jax.lax.psum(stats["bit_errors"], MC_AXIS)
-            stats["symbol_errors"] = jax.lax.psum(stats["symbol_errors"], MC_AXIS)
-            stats["papr_peak"] = jax.lax.pmax(stats["papr_peak"], MC_AXIS)
-            stats["papr_sum"] = jax.lax.psum(stats["papr_sum"], MC_AXIS)
-            stats["papr_count"] = jax.lax.psum(stats["papr_count"], MC_AXIS)
-            return jax.tree.map(lambda a: a[None], carry2), stats
+            (carry2, acc), _ = jax.lax.scan(
+                body, (carry[0], _acc_init()), jnp.arange(num_chunks)
+            )
+            # Exact cross-shard totals: the int32 lo/hi counter splits psum
+            # losslessly (per-shard lo < 2^24, so even a 128-shard sum stays
+            # far below 2^31; the host recombines hi*2^24 + lo).
+            acc["be_lo"] = jax.lax.psum(acc["be_lo"], MC_AXIS)
+            acc["be_hi"] = jax.lax.psum(acc["be_hi"], MC_AXIS)
+            acc["se_lo"] = jax.lax.psum(acc["se_lo"], MC_AXIS)
+            acc["se_hi"] = jax.lax.psum(acc["se_hi"], MC_AXIS)
+            acc["papr_peak"] = jax.lax.pmax(acc["papr_peak"], MC_AXIS)
+            acc["papr_sum"] = jax.lax.psum(acc["papr_sum"], MC_AXIS)
+            acc["papr_sum_c"] = jax.lax.psum(acc["papr_sum_c"], MC_AXIS)
+            acc["papr_count"] = jax.lax.psum(acc["papr_count"], MC_AXIS)
+            acc["papr_count_c"] = jax.lax.psum(acc["papr_count_c"], MC_AXIS)
+            return jax.tree.map(lambda a: a[None], carry2), acc
 
         carry_spec = jax.tree.map(lambda _: P(MC_AXIS), self._init_carry_sharded())
         out_stats_spec: Dict[str, Any] = {
-            "bit_errors": P(),
-            "symbol_errors": P(),
-            "papr_peak": P(),
-            "papr_sum": P(),
-            "papr_count": P(),
+            k: P() for k in (
+                "be_lo", "be_hi", "se_lo", "se_hi", "papr_peak",
+                "papr_sum", "papr_sum_c", "papr_count", "papr_count_c",
+            )
         }
         return shard_map(
             f,
@@ -266,13 +275,17 @@ class ShardedLinkRunner(LinkRunner):
             fn, _ = self._shard_chunk(num_syms, False)
 
             def f(key, carry0, snr_db, sqrt_power):
-                def body(carry, i):
+                def body(cs, i):
+                    carry, acc = cs
                     stats, carry = fn(
                         jax.random.fold_in(key, i), carry, snr_db, sqrt_power
                     )
-                    return carry, stats
+                    return (carry, _acc_add(acc, stats)), None
 
-                return jax.lax.scan(body, carry0, jnp.arange(num_chunks))
+                (carry, acc), _ = jax.lax.scan(
+                    body, (carry0, _acc_init()), jnp.arange(num_chunks)
+                )
+                return carry, acc
 
             self._jitted[key_] = jax.jit(f)
         return self._jitted[key_]
@@ -305,28 +318,33 @@ class ShardedLinkRunner(LinkRunner):
                     p, snr, sp = xs
                     pkey = jax.random.fold_in(key, p)
 
-                    def cbody(c, i):
+                    def cbody(cs, i):
+                        c, acc_ = cs
                         k = jax.random.fold_in(jax.random.fold_in(pkey, i), idx)
                         stats, c2 = fn(k, c, snr, sp, consts_)
-                        return c2, stats
+                        return (c2, _acc_add(acc_, stats)), None
 
-                    c_end, ys = jax.lax.scan(
-                        cbody, carry0[0], jnp.arange(num_chunks)
+                    (c_end, acc_), _ = jax.lax.scan(
+                        cbody, (carry0[0], _acc_init()), jnp.arange(num_chunks)
                     )
-                    return None, (ys, c_end)
+                    return None, (acc_, c_end)
 
-                _, (ys, c_end) = jax.lax.scan(
+                _, (acc, c_end) = jax.lax.scan(
                     pbody, None, (point_ids, snrs, sqrt_powers)
                 )
-                ys["bit_errors"] = jax.lax.psum(ys["bit_errors"], MC_AXIS)
-                ys["symbol_errors"] = jax.lax.psum(ys["symbol_errors"], MC_AXIS)
-                ys["papr_peak"] = jax.lax.pmax(ys["papr_peak"], MC_AXIS)
-                ys["papr_sum"] = jax.lax.psum(ys["papr_sum"], MC_AXIS)
-                ys["papr_count"] = jax.lax.psum(ys["papr_count"], MC_AXIS)
+                acc["be_lo"] = jax.lax.psum(acc["be_lo"], MC_AXIS)
+                acc["be_hi"] = jax.lax.psum(acc["be_hi"], MC_AXIS)
+                acc["se_lo"] = jax.lax.psum(acc["se_lo"], MC_AXIS)
+                acc["se_hi"] = jax.lax.psum(acc["se_hi"], MC_AXIS)
+                acc["papr_peak"] = jax.lax.pmax(acc["papr_peak"], MC_AXIS)
+                acc["papr_sum"] = jax.lax.psum(acc["papr_sum"], MC_AXIS)
+                acc["papr_sum_c"] = jax.lax.psum(acc["papr_sum_c"], MC_AXIS)
+                acc["papr_count"] = jax.lax.psum(acc["papr_count"], MC_AXIS)
+                acc["papr_count_c"] = jax.lax.psum(acc["papr_count_c"], MC_AXIS)
                 # Per-point per-shard carries, shard axis restored at axis 1:
                 # global (num_points, n_dev, ...) so run_grid's carries[p] is
                 # exactly a sharded carry for the remainder step.
-                return ys, jax.tree.map(lambda a: a[:, None], c_end)
+                return acc, jax.tree.map(lambda a: a[:, None], c_end)
 
             carry_spec = jax.tree.map(
                 lambda _: P(MC_AXIS), self._init_carry_sharded()
@@ -335,11 +353,10 @@ class ShardedLinkRunner(LinkRunner):
                 lambda _: P(None, MC_AXIS), self._init_carry_sharded()
             )
             out_stats_spec: Dict[str, Any] = {
-                "bit_errors": P(),
-                "symbol_errors": P(),
-                "papr_peak": P(),
-                "papr_sum": P(),
-                "papr_count": P(),
+                k: P() for k in (
+                    "be_lo", "be_hi", "se_lo", "se_hi", "papr_peak",
+                    "papr_sum", "papr_sum_c", "papr_count", "papr_count_c",
+                )
             }
             sm = shard_map(
                 f,
@@ -382,25 +399,30 @@ class ShardedLinkRunner(LinkRunner):
                     p, snr, sp, consts_ = xs
                     pkey = jax.random.fold_in(key, p)
 
-                    def cbody(c, i):
+                    def cbody(cs, i):
+                        c, acc_ = cs
                         k = jax.random.fold_in(jax.random.fold_in(pkey, i), idx)
                         stats, c2 = fn(k, c, snr, sp, consts_)
-                        return c2, stats
+                        return (c2, _acc_add(acc_, stats)), None
 
-                    c_end, ys = jax.lax.scan(
-                        cbody, carry0[0], jnp.arange(num_chunks)
+                    (c_end, acc_), _ = jax.lax.scan(
+                        cbody, (carry0[0], _acc_init()), jnp.arange(num_chunks)
                     )
-                    return None, (ys, c_end)
+                    return None, (acc_, c_end)
 
-                _, (ys, c_end) = jax.lax.scan(
+                _, (acc, c_end) = jax.lax.scan(
                     pbody, None, (point_ids, snrs, sqrt_powers, consts_stacked)
                 )
-                ys["bit_errors"] = jax.lax.psum(ys["bit_errors"], MC_AXIS)
-                ys["symbol_errors"] = jax.lax.psum(ys["symbol_errors"], MC_AXIS)
-                ys["papr_peak"] = jax.lax.pmax(ys["papr_peak"], MC_AXIS)
-                ys["papr_sum"] = jax.lax.psum(ys["papr_sum"], MC_AXIS)
-                ys["papr_count"] = jax.lax.psum(ys["papr_count"], MC_AXIS)
-                return ys, jax.tree.map(lambda a: a[:, None], c_end)
+                acc["be_lo"] = jax.lax.psum(acc["be_lo"], MC_AXIS)
+                acc["be_hi"] = jax.lax.psum(acc["be_hi"], MC_AXIS)
+                acc["se_lo"] = jax.lax.psum(acc["se_lo"], MC_AXIS)
+                acc["se_hi"] = jax.lax.psum(acc["se_hi"], MC_AXIS)
+                acc["papr_peak"] = jax.lax.pmax(acc["papr_peak"], MC_AXIS)
+                acc["papr_sum"] = jax.lax.psum(acc["papr_sum"], MC_AXIS)
+                acc["papr_sum_c"] = jax.lax.psum(acc["papr_sum_c"], MC_AXIS)
+                acc["papr_count"] = jax.lax.psum(acc["papr_count"], MC_AXIS)
+                acc["papr_count_c"] = jax.lax.psum(acc["papr_count_c"], MC_AXIS)
+                return acc, jax.tree.map(lambda a: a[:, None], c_end)
 
             carry_spec = jax.tree.map(
                 lambda _: P(MC_AXIS), self._init_carry_sharded()
@@ -409,11 +431,10 @@ class ShardedLinkRunner(LinkRunner):
                 lambda _: P(None, MC_AXIS), self._init_carry_sharded()
             )
             out_stats_spec: Dict[str, Any] = {
-                "bit_errors": P(),
-                "symbol_errors": P(),
-                "papr_peak": P(),
-                "papr_sum": P(),
-                "papr_count": P(),
+                k: P() for k in (
+                    "be_lo", "be_hi", "se_lo", "se_hi", "papr_peak",
+                    "papr_sum", "papr_sum_c", "papr_count", "papr_count_c",
+                )
             }
             sm = shard_map(
                 f,

@@ -193,6 +193,77 @@ def prepare(
 _SHARED_JIT: Dict[Any, Any] = {}
 
 
+# ---------------------------------------------------------------------------
+# Device-side stat accumulation for chunk scans.
+#
+# Scans used to stack per-chunk stats as (num_chunks,) outputs and let the
+# host sum them in Python ints.  At small-chunk wide configs that output is
+# the dominant run cost (a 2^27-OFDM-symbol 1024-sc campaign has ~1M chunks;
+# measured 2026-08-19: the wide bench wall DROPPED from 21.0M to 18.2M
+# syms/s when the campaign doubled, entirely stacked-output overhead).  The
+# scans now fold stats into this O(1) accumulator on device.  Exactness is
+# preserved:
+#   * error counters: int32 lo/hi split in units of 2^24 — exact integer
+#     arithmetic for totals up to 2^55 (per-chunk counts are < 2^31 by the
+#     chunk cap, and lo stays < 2^24 after each renormalize);
+#   * PAPR running sum/count: Kahan-compensated f32 (the compensation term
+#     travels in the accumulator and is added back on the host).
+# ---------------------------------------------------------------------------
+
+
+def _acc_init():
+    z = jnp.int32(0)
+    f = jnp.float32(0.0)
+    return {
+        "be_lo": z, "be_hi": z, "se_lo": z, "se_hi": z,
+        "papr_peak": f, "papr_sum": f, "papr_sum_c": f,
+        "papr_count": f, "papr_count_c": f,
+    }
+
+
+def _acc_add(acc, stats):
+    def split_add(lo, hi, x):
+        # Per-chunk counts are < 2^31 (chunk cap), so int32 is lossless
+        # even when the XLA chunk path computes int64 under x64 tests.
+        x = jnp.asarray(x, jnp.int32)
+        lo2 = lo + (x & 0xFFFFFF)
+        hi2 = hi + (x >> 24) + (lo2 >> 24)
+        return lo2 & 0xFFFFFF, hi2
+
+    def kahan(t_c, x):
+        t, c = t_c
+        y = jnp.asarray(x, jnp.float32) - c
+        t2 = t + y
+        return t2, (t2 - t) - y
+
+    be_lo, be_hi = split_add(acc["be_lo"], acc["be_hi"], stats["bit_errors"])
+    se_lo, se_hi = split_add(acc["se_lo"], acc["se_hi"], stats["symbol_errors"])
+    ps, psc = kahan((acc["papr_sum"], acc["papr_sum_c"]), stats["papr_sum"])
+    pn, pnc = kahan(
+        (acc["papr_count"], acc["papr_count_c"]), stats["papr_count"]
+    )
+    return {
+        "be_lo": be_lo, "be_hi": be_hi, "se_lo": se_lo, "se_hi": se_hi,
+        "papr_peak": jnp.maximum(acc["papr_peak"], stats["papr_peak"]),
+        "papr_sum": ps, "papr_sum_c": psc,
+        "papr_count": pn, "papr_count_c": pnc,
+    }
+
+
+def _acc_totals(acc, idx=None):
+    """(bit_errors, symbol_errors, papr_peak, papr_sum, papr_count) as host
+    scalars; ``idx`` selects one point of a stacked (per-point) accumulator.
+
+    Works on both single-device accumulators and sharded ones whose lo/hi
+    fields were psum'd across shards (lo sums stay far below 2^31)."""
+    g = (lambda a: np.asarray(a)[idx]) if idx is not None else np.asarray
+    be = (int(g(acc["be_hi"])) << 24) + int(g(acc["be_lo"]))
+    se = (int(g(acc["se_hi"])) << 24) + int(g(acc["se_lo"]))
+    papr_sum = float(g(acc["papr_sum"])) + float(g(acc["papr_sum_c"]))
+    papr_count = float(g(acc["papr_count"])) + float(g(acc["papr_count_c"]))
+    return be, se, float(g(acc["papr_peak"])), papr_sum, int(round(papr_count))
+
+
 class LinkRunner:
     """Compiled executor for one `LinkSetup`.
 
@@ -519,13 +590,17 @@ class LinkRunner:
             if j is None:
 
                 def f(key, carry0, snr_db, sqrt_power, consts_):
-                    def body(carry, i):
+                    def body(cs, i):
+                        carry, acc = cs
                         stats, carry = fn(
                             jax.random.fold_in(key, i), carry, snr_db, sqrt_power, consts_
                         )
-                        return carry, stats
+                        return (carry, _acc_add(acc, stats)), None
 
-                    return jax.lax.scan(body, carry0, jnp.arange(num_chunks))
+                    (carry, acc), _ = jax.lax.scan(
+                        body, (carry0, _acc_init()), jnp.arange(num_chunks)
+                    )
+                    return carry, acc
 
                 j = _SHARED_JIT.setdefault(jkey, jax.jit(f))
             return lambda key, carry0, snr, sp: j(key, carry0, snr, sp, consts)
@@ -535,12 +610,17 @@ class LinkRunner:
             chunk_fn = self._chunk_fn(num_syms, False)
 
             def f(key, carry0, snr_db, sqrt_power):
-                def body(carry, i):
+                def body(cs, i):
+                    carry, acc = cs
                     stats, carry = chunk_fn(
                         jax.random.fold_in(key, i), carry, snr_db, sqrt_power
                     )
-                    return carry, stats
-                return jax.lax.scan(body, carry0, jnp.arange(num_chunks))
+                    return (carry, _acc_add(acc, stats)), None
+
+                (carry, acc), _ = jax.lax.scan(
+                    body, (carry0, _acc_init()), jnp.arange(num_chunks)
+                )
+                return carry, acc
 
             self._jitted[key_] = jax.jit(f)
         return self._jitted[key_]
@@ -837,14 +917,13 @@ class LinkRunner:
         carry = self._init_carry()
         if num_full > 0:
             scan = self._scan(num_full, chunk)
-            carry, ys = scan(key, carry, snr_arr, sqrt_power)
-            totals["bit_errors"] += int(np.sum(np.asarray(ys["bit_errors"], np.int64)))
-            totals["symbol_errors"] += int(
-                np.sum(np.asarray(ys["symbol_errors"], np.int64))
-            )
-            papr_peak = max(papr_peak, float(np.max(ys["papr_peak"])))
-            papr_sum += float(np.sum(np.asarray(ys["papr_sum"], np.float64)))
-            papr_count += int(np.sum(np.asarray(ys["papr_count"], np.float64)))
+            carry, acc = scan(key, carry, snr_arr, sqrt_power)
+            be, se, pk, psum_, pcount = _acc_totals(acc)
+            totals["bit_errors"] += be
+            totals["symbol_errors"] += se
+            papr_peak = max(papr_peak, pk)
+            papr_sum += psum_
+            papr_count += pcount
         if rem > 0:
             step = self._step(rem, False)
             stats, carry = step(jax.random.fold_in(key, num_full), carry, snr_arr, sqrt_power)
@@ -894,16 +973,17 @@ class LinkRunner:
                         p, snr, sp = xs
                         pkey = jax.random.fold_in(key, p)
 
-                        def cbody(carry, i):
+                        def cbody(cs, i):
+                            carry, acc = cs
                             stats, carry = fn(
                                 jax.random.fold_in(pkey, i), carry, snr, sp, consts_
                             )
-                            return carry, stats
+                            return (carry, _acc_add(acc, stats)), None
 
-                        carry_end, ys = jax.lax.scan(
-                            cbody, carry0, jnp.arange(num_chunks)
+                        (carry_end, acc), _ = jax.lax.scan(
+                            cbody, (carry0, _acc_init()), jnp.arange(num_chunks)
                         )
-                        return None, (ys, carry_end)
+                        return None, (acc, carry_end)
 
                     _, out = jax.lax.scan(
                         pbody, None, (point_ids, snrs, sqrt_powers)
@@ -923,16 +1003,17 @@ class LinkRunner:
                     p, snr, sp = xs
                     pkey = jax.random.fold_in(key, p)
 
-                    def cbody(carry, i):
+                    def cbody(cs, i):
+                        carry, acc = cs
                         stats, carry = chunk_fn(
                             jax.random.fold_in(pkey, i), carry, snr, sp
                         )
-                        return carry, stats
+                        return (carry, _acc_add(acc, stats)), None
 
-                    carry_end, ys = jax.lax.scan(
-                        cbody, carry0, jnp.arange(num_chunks)
+                    (carry_end, acc), _ = jax.lax.scan(
+                        cbody, (carry0, _acc_init()), jnp.arange(num_chunks)
                     )
-                    return None, (ys, carry_end)
+                    return None, (acc, carry_end)
 
                 _, out = jax.lax.scan(pbody, None, (point_ids, snrs, sqrt_powers))
                 return out
@@ -958,16 +1039,17 @@ class LinkRunner:
                     p, snr, sp, consts_ = xs
                     pkey = jax.random.fold_in(key, p)
 
-                    def cbody(carry, i):
+                    def cbody(cs, i):
+                        carry, acc = cs
                         stats, carry = fn(
                             jax.random.fold_in(pkey, i), carry, snr, sp, consts_
                         )
-                        return carry, stats
+                        return (carry, _acc_add(acc, stats)), None
 
-                    carry_end, ys = jax.lax.scan(
-                        cbody, carry0, jnp.arange(num_chunks)
+                    (carry_end, acc), _ = jax.lax.scan(
+                        cbody, (carry0, _acc_init()), jnp.arange(num_chunks)
                     )
-                    return None, (ys, carry_end)
+                    return None, (acc, carry_end)
 
                 _, out = jax.lax.scan(
                     pbody, None, (point_ids, snrs, sqrt_powers, consts_stacked)
@@ -1058,8 +1140,8 @@ class LinkRunner:
                 ]
 
         t0 = time.perf_counter()
-        ys, carries = grid(key, self._init_carry(), point_ids, snr_arr, sqrt_powers)
-        ys = jax.tree.map(np.asarray, ys)
+        accs, carries = grid(key, self._init_carry(), point_ids, snr_arr, sqrt_powers)
+        accs = jax.tree.map(np.asarray, accs)
         rem_stats = []
         if rem > 0:
             # Continue each point's convolution stream from its post-scan
@@ -1079,15 +1161,8 @@ class LinkRunner:
 
         out: List[Dict[str, Any]] = []
         for p, snr in enumerate(snrs):
-            totals = {
-                "bit_errors": int(np.sum(np.asarray(ys["bit_errors"][p], np.int64))),
-                "symbol_errors": int(
-                    np.sum(np.asarray(ys["symbol_errors"][p], np.int64))
-                ),
-            }
-            papr_peak = float(np.max(ys["papr_peak"][p]))
-            papr_sum = float(np.sum(np.asarray(ys["papr_sum"][p], np.float64)))
-            papr_count = int(np.sum(np.asarray(ys["papr_count"][p], np.float64)))
+            be, se, papr_peak, papr_sum, papr_count = _acc_totals(accs, p)
+            totals = {"bit_errors": be, "symbol_errors": se}
             if rem > 0:
                 st = rem_stats[p]
                 totals["bit_errors"] += int(st["bit_errors"])
@@ -1204,10 +1279,10 @@ def run_grid_multi(
                 ]
 
         t0 = time.perf_counter()
-        ys, carries = grid(
+        accs, carries = grid(
             key, r0._init_carry(), point_ids, snr_arr, sqrt_powers, consts_stacked
         )
-        ys = jax.tree.map(np.asarray, ys)
+        accs = jax.tree.map(np.asarray, accs)
         rem_stats = []
         if rem > 0:
             for gi, p in enumerate(idxs):
@@ -1225,17 +1300,8 @@ def run_grid_multi(
 
         for gi, p in enumerate(idxs):
             r = runners[p]
-            totals = {
-                "bit_errors": int(
-                    np.sum(np.asarray(ys["bit_errors"][gi], np.int64))
-                ),
-                "symbol_errors": int(
-                    np.sum(np.asarray(ys["symbol_errors"][gi], np.int64))
-                ),
-            }
-            papr_peak = float(np.max(ys["papr_peak"][gi]))
-            papr_sum = float(np.sum(np.asarray(ys["papr_sum"][gi], np.float64)))
-            papr_count = int(np.sum(np.asarray(ys["papr_count"][gi], np.float64)))
+            be, se, papr_peak, papr_sum, papr_count = _acc_totals(accs, gi)
+            totals = {"bit_errors": be, "symbol_errors": se}
             if rem > 0:
                 st = rem_stats[gi]
                 totals["bit_errors"] += int(st["bit_errors"])
