@@ -59,3 +59,50 @@ def test_wilson_interval_properties():
 def test_ber_equivalent():
     assert mt.ber_equivalent(190, 10000, 200, 10000)
     assert not mt.ber_equivalent(100, 10000, 500, 10000)
+
+
+def test_device_stat_accumulator_exactness():
+    """pipeline._acc_add/_acc_totals: the int32 lo/hi counter split is
+    EXACT for totals far past 2^31, and the Kahan-compensated PAPR sum
+    tracks the f64 reference at f32-ulp scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from ofdm_tpu.pipeline import _acc_add, _acc_init, _acc_totals
+
+    rng = np.random.default_rng(5)
+    n_chunks = 400
+    # Counts near the int32 per-chunk ceiling: totals reach ~4e11 >> 2^31.
+    be = rng.integers(0, 2**31 - 1, size=n_chunks, dtype=np.int64)
+    se = rng.integers(0, 2**31 - 1, size=n_chunks, dtype=np.int64)
+    ps = rng.uniform(0.0, 1e6, size=n_chunks).astype(np.float32)
+    pc = rng.uniform(0.0, 2**24, size=n_chunks).astype(np.float32)
+
+    def fold(acc, xs):
+        stats = {
+            "bit_errors": xs[0].astype(jnp.int32),
+            "symbol_errors": xs[1].astype(jnp.int32),
+            "papr_peak": xs[2],
+            "papr_sum": xs[2],
+            "papr_count": xs[3],
+        }
+        return _acc_add(acc, stats), None
+
+    acc, _ = jax.lax.scan(
+        fold,
+        _acc_init(),
+        (
+            jnp.asarray(be, jnp.int32),
+            jnp.asarray(se, jnp.int32),
+            jnp.asarray(ps),
+            jnp.asarray(pc),
+        ),
+    )
+    got_be, got_se, got_peak, got_sum, got_count = _acc_totals(acc)
+    assert got_be == int(be.sum())  # exact despite >2^31 total
+    assert got_se == int(se.sum())
+    assert got_peak == float(np.max(ps))
+    np.testing.assert_allclose(got_sum, float(np.sum(ps, dtype=np.float64)), rtol=1e-6)
+    np.testing.assert_allclose(
+        got_count, float(np.sum(pc, dtype=np.float64)), rtol=1e-6
+    )
