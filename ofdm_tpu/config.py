@@ -184,9 +184,10 @@ class SimulationConfig:
     # matmul/CT-DFT chunk — measured fastest per width on the target TPU.
     # "pallas": force the kernel, including the tap-shift wide-link mode
     # (slower than the XLA matmul path at 1024 sc: 117.6M vs 2.12G QAM/s,
-    # but a single kernel).  "matmul": XLA matmul-form operators.  "batchminor":
-    # the (time, batch)-layout fused chunk in ops/fused.py (measured
-    # slower; kept opt-in).  Anything else: generic planar chunk.
+    # but a single kernel).  "matmul": XLA matmul-form operators.
+    # Anything else: generic planar chunk.  (A "batchminor" (time, batch)
+    # layout experiment was pruned in round 4 — measured slower, numbers in
+    # docs/PERFORMANCE.md, code in git history.)
     hotpath: str = "auto"
     # bf16 split passes per MXU matmul in the fused Pallas kernel.  3 =
     # bf16x3 split (~1e-5 relative error, matches f32); 1 = single bf16 pass

@@ -507,8 +507,11 @@ class _Spec(NamedTuple):
     # x2 runs the whole elementwise chain at full lane utilization.
     # Measured basis: a 128-subcarrier diag link costs the SAME 4.07
     # ns/OFDM-symbol as the 64-subcarrier one (2026-08-19 probe), i.e.
-    # per-bin cost halves at full lanes.  Diag-only: fold/mm modes would
-    # pay pack x more MXU FLOPs on block-diagonal matmuls.
+    # per-bin cost halves at full lanes.  Applies to "diag" AND "mm"
+    # (fold and ZP): block-diagonal matmuls of narrow matrices cost the
+    # same MXU passes as unpacked ones (the extra symbol rides in the
+    # (8, 128) systolic padding) — see _spec_for's pack selection.
+    # "taps"/"mm4" (wide) stay unpacked.
     pack: int = 1
     # Wide-diag external PAPR: the TX matrices are MBs at >= 512
     # subcarriers and their mere VMEM residency cost a measured 20.4
@@ -791,8 +794,13 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         # output lane receives its own symbol's mean |rx|^2 — the exact
         # per-row semantics of equalization/models.py:39-49, already
         # broadcast per lane).
+        # Staged as a bf16 hi/lo split and applied with an _mm3 bf16x3
+        # matmul: the |rx|^2 activation and the 1/n weights (inexact in
+        # bf16 for non-power-of-two n) both carry f32-grade precision, so
+        # the packed estimate matches the unpacked f32 per-row mean to
+        # ~1e-7 relative instead of the single-pass ~0.4% (ADVICE r3).
         mseg = np.kron(np.eye(spec.pack), np.full((n, n), 1.0 / n))
-        consts.append(np.asarray(mseg, np.float32).astype(jnp.bfloat16))
+        consts.extend(_split_const(mseg))
 
     if spec.mode == "aqam":
         # Per-subcarrier order parameters as (1, n) lane rows.  Inactive
@@ -899,8 +907,12 @@ def _demap_tile(spec: _Spec, er, ei, aq):
         mrow, lrow = aq
         mf = mrow.astype(jnp.float32)
         c0 = (mf - 1.0) * 0.5  # (1, W) row math — negligible
-        cc = jnp.clip(jnp.round(er + c0).astype(jnp.int32), 0, mrow - 1)
-        rr = jnp.clip(jnp.round(c0 - ei).astype(jnp.int32), 0, mrow - 1)
+        # Clip in FLOAT before the int32 cast: dead bins (h_freq == 0) give
+        # ZF gains ~1e10 in slicer units, and float->int conversion out of
+        # int32 range is implementation-defined in the XLA/LLVM lowering
+        # (ADVICE r3).  The float clip is well-defined for any input.
+        cc = jnp.clip(jnp.round(er + c0), 0.0, mf - 1.0).astype(jnp.int32)
+        rr = jnp.clip(jnp.round(c0 - ei), 0.0, mf - 1.0).astype(jnp.int32)
         pp = rr * mrow + cc
         j = _inv_gray_static(pp, bits)
         rowj = j >> lrow
@@ -910,8 +922,10 @@ def _demap_tile(spec: _Spec, er, ei, aq):
     if spec.mode == "qam":
         m_side, logm, _ = _qam_geometry(spec.order)
         c0 = np.float32((m_side - 1) * 0.5)
-        cc = jnp.clip(jnp.round(er + c0).astype(jnp.int32), 0, m_side - 1)
-        rr = jnp.clip(jnp.round(c0 - ei).astype(jnp.int32), 0, m_side - 1)
+        # Float clip before the int cast — see the aqam branch (ADVICE r3).
+        mf1 = np.float32(m_side - 1)
+        cc = jnp.clip(jnp.round(er + c0), 0.0, mf1).astype(jnp.int32)
+        rr = jnp.clip(jnp.round(c0 - ei), 0.0, mf1).astype(jnp.int32)
         pp = rr * m_side + cc
         if not spec.is_gray:
             return pp
@@ -996,7 +1010,7 @@ def _fn_for_spec(spec: _Spec):
             rest = rest[ncm:]
         (hre_ref, him_ref, habs2_ref, zfgr_ref, zfgi_ref, *rest) = rest
         if has_mseg:
-            (mseg_ref, *rest) = rest
+            (mseg_hi_ref, mseg_lo_ref, *rest) = rest
         if is_aqam:
             (mask_ref, mrow_ref, logm_ref, scale_ref, invs_ref, *rest) = rest
         (
@@ -1230,11 +1244,8 @@ def _fn_for_spec(spec: _Spec):
                 # a per-n-lane-segment mean via ONE bf16 matmul with the
                 # block-diagonal averaging matrix (same per-OFDM-symbol
                 # noise-variance semantics, result already per-lane).
-                sp = jnp.dot(
-                    (fr * fr + fi_ * fi_).astype(jnp.bfloat16),
-                    mseg_ref[:],
-                    preferred_element_type=jnp.float32,
-                )
+                ph, plo = _split_act(fr * fr + fi_ * fi_)
+                sp = _mm3(ph, plo, mseg_hi_ref[:], mseg_lo_ref[:])
             else:
                 sp = jnp.mean(fr * fr + fi_ * fi_, axis=1, keepdims=True)  # (Bt, 1)
             nv = sp / snr_lin / cg_ref[0]
@@ -1320,7 +1331,7 @@ def _fn_for_spec(spec: _Spec):
     n_vmem_consts = (
         (n_cmats + (1 if is_sc else 0)) * ncm_out
         + 5
-        + (1 if has_mseg else 0)
+        + (2 if has_mseg else 0)
         + (5 if is_aqam else 0)
     )
     n_smem = 5 if conv_taps else 3  # + tap re/im rows in taps mode

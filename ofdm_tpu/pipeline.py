@@ -244,7 +244,12 @@ def _acc_add(acc, stats):
     )
     return {
         "be_lo": be_lo, "be_hi": be_hi, "se_lo": se_lo, "se_hi": se_hi,
-        "papr_peak": jnp.maximum(acc["papr_peak"], stats["papr_peak"]),
+        # f32 cast matches kahan()'s: under jax_enable_x64 the XLA chunk
+        # path yields f64 papr_peak, which would otherwise promote the scan
+        # carry dtype and fail chunked runs at trace time (ADVICE r3).
+        "papr_peak": jnp.maximum(
+            acc["papr_peak"], jnp.asarray(stats["papr_peak"], jnp.float32)
+        ),
         "papr_sum": ps, "papr_sum_c": psc,
         "papr_count": pn, "papr_count_c": pnc,
     }
@@ -368,18 +373,10 @@ class LinkRunner:
         n = cfg.num_subcarriers
         planar = self.planar
 
-        # Batch-minor fused hot path (ops/fused.py) is opt-in: measured slower
-        # than the generic batch-major chunk on the target TPU (5.4M vs 8.6M
-        # OFDM syms/s at the bench config), kept as a layout experiment.
-        use_bm = cfg.hotpath == "batchminor" and not s.is_adaptive and planar
-        if use_bm:
-            from ofdm_tpu.ops import fused
-
-            return fused.chunk_body_batchminor(
-                self, key, conv_carry, num_syms, return_symbols,
-                snr_db=snr_db, sqrt_power=sqrt_power,
-                measured_power=measured_power, axis_name=axis_name,
-            )
+        # (The round-2 "batchminor" (time, batch)-layout experiment was
+        # pruned in round 4: measured slower than the batch-major chunk —
+        # 5.4M vs 8.6M OFDM syms/s at the bench config; numbers recorded in
+        # docs/PERFORMANCE.md, code in git history.)
 
         c = self._constants()
         if snr_db is None:
