@@ -19,6 +19,13 @@ semilogy plot, in the reference's directory/naming layout.
 
 All three scenarios share ONE compiled executable: scenario/SNR differences
 enter as traced vectors (sqrt-power, per-subcarrier noise std).
+
+BER campaigns run on the FUSED Pallas kernel (round 4): the experiment's
+post-equalization stages (colored noise, 1/sqrt(P) compensation, global
+normalization) run in-kernel (pallas_link.make_noise_bump_chunk), so each
+point's BER is measured over >= 2^24 OFDM symbols at the framework's full
+throughput instead of the 2048-symbol XLA dispatch (which remains the
+constellation-plot sampler).  One executable serves all 21 points.
 """
 
 from __future__ import annotations
@@ -167,6 +174,83 @@ class _Link:
         return int(errors) / total_bits, cplx.to_numpy(symbols)
 
 
+class _FusedLink:
+    """Fused-kernel BER campaign for the experiment (plots stay on _Link).
+
+    One compiled executable serves every (scenario, SNR) point: the
+    per-point sqrt-power / compensation / noise-std lanes are traced rows
+    stacked as the kernel's (3, n) ``rows`` argument.
+    """
+
+    def __init__(self, num_ofdm_symbols: int, num_subcarriers: int, order: int,
+                 channel: str, chunk: int = 1 << 17, interpret: bool = False):
+        from ofdm_tpu.config import SimulationConfig
+        from ofdm_tpu.ops import pallas_link
+        from ofdm_tpu.pipeline import LinkRunner, prepare, _acc_add, _acc_init
+
+        chunk = min(chunk, num_ofdm_symbols)
+        if num_ofdm_symbols % chunk:
+            raise ValueError("num_ofdm_symbols must divide by the chunk size")
+        cfg = SimulationConfig(
+            num_symbols=num_subcarriers * num_ofdm_symbols,
+            num_subcarriers=num_subcarriers,
+            constellation_order=order,
+            channel_type="CUSTOM",
+            channel_model=channel,
+            prefix_type=PrefixType.CYCLIC,
+            prefix_length_ratio=1.0,
+            equalization_method=EqualizationMethod.MMSE,
+            noise_type="NONE",
+            apply_power_allocation=True,
+            normalize_before_demap=True,
+            snr_db=30.0,
+            engine="planar",
+            hotpath="pallas",
+            symbols_per_chunk=chunk,
+        )
+        self.runner = LinkRunner(prepare(cfg))
+        self.runner._interpret = interpret
+        lifted = pallas_link.make_noise_bump_chunk(self.runner, chunk, interpret)
+        if lifted is None:
+            raise RuntimeError("fused noise-bump kernel unavailable for this config")
+        fn, consts, _spec = lifted
+        self.B = num_ofdm_symbols
+        self.bits = int(np.log2(order))
+        self.n = num_subcarriers
+        num_chunks = num_ofdm_symbols // chunk
+        carry0 = self.runner._init_carry()
+
+        def run_all(key, snr_db, rows):
+            def body(cs, i):
+                c, acc = cs
+                stats, c2 = fn(jax.random.fold_in(key, i), c, snr_db, rows, consts)
+                return (c2, _acc_add(acc, stats)), None
+
+            (_, acc), _ = jax.lax.scan(
+                body, (carry0, _acc_init()), jnp.arange(num_chunks)
+            )
+            return acc
+
+        self._run = jax.jit(run_all)
+
+    def run_point(self, key, scenario: Scenario, noise_profile: np.ndarray,
+                  snr_db: float) -> float:
+        from ofdm_tpu.pipeline import _acc_totals
+
+        h2 = np.abs(self.runner.setup.h_freq) ** 2
+        power = scenario_power(scenario, h2, noise_profile, snr_db)
+        sqrt_power = np.sqrt(power)
+        inv = sqrt_power.copy()
+        inv[inv < 1e-10] = 1.0  # the reference's guard (:176-177)
+        noise_std = np.sqrt(10 ** (-snr_db / 10) * noise_profile / 2.0)
+        rows = jnp.asarray(
+            np.stack([sqrt_power, 1.0 / inv, noise_std]), jnp.float32
+        )
+        acc = jax.tree.map(np.asarray, self._run(key, jnp.float32(snr_db), rows))
+        be, _se, _pp, _ps, _pc = _acc_totals(acc)
+        return be / (self.B * self.n * self.bits)
+
+
 def run_noise_bump_experiment(
     snr_values: Sequence[float] = (0, 5, 10, 15, 20, 25, 30),
     num_ofdm_symbols: int = 2048,
@@ -178,8 +262,15 @@ def run_noise_bump_experiment(
     seed: int = 42,
     save_plots: bool = True,
     max_plot_symbols: int = 32768,
+    fused_symbols_per_point: Optional[int] = None,
 ) -> Dict[str, List[float]]:
-    """Run all three scenarios; returns {scenario name: [ber per snr]}."""
+    """Run all three scenarios; returns {scenario name: [ber per snr]}.
+
+    ``fused_symbols_per_point``: when set (default: 2^24 on a TPU backend,
+    off on CPU), BERs are measured over that many OFDM symbols per point on
+    the fused Pallas kernel; the XLA link still renders the constellation
+    samples.  Pass 0 to force the XLA-only path.
+    """
     import matplotlib
 
     matplotlib.use("Agg")
@@ -188,6 +279,20 @@ def run_noise_bump_experiment(
     channel_ir = chm.get_channel(channel)
     link = _Link(num_ofdm_symbols, num_subcarriers, constellation_order, channel_ir)
     key = jax.random.PRNGKey(seed)
+
+    if fused_symbols_per_point is None:
+        fused_symbols_per_point = (
+            1 << 24 if jax.default_backend() not in ("cpu", "gpu") else 0
+        )
+    fused = None
+    if fused_symbols_per_point:
+        try:
+            fused = _FusedLink(
+                fused_symbols_per_point, num_subcarriers, constellation_order,
+                channel,
+            )
+        except Exception:
+            fused = None  # fall back to the XLA-only campaign
 
     base_out = Path(output_dir)
     res_dir = Path(results_dir)
@@ -205,6 +310,13 @@ def run_noise_bump_experiment(
                 jax.random.fold_in(key, s_i * 1000 + p_i), scenario, noise_profile,
                 float(snr_db),
             )
+            if fused is not None:
+                # Fused-kernel BER over fused_symbols_per_point OFDM symbols
+                # (the XLA sample above still feeds the constellation plot).
+                ber = fused.run_point(
+                    jax.random.fold_in(key, 500_000 + s_i * 1000 + p_i),
+                    scenario, noise_profile, float(snr_db),
+                )
             bers.append(ber)
             if save_plots:
                 sample = symbols[:max_plot_symbols]

@@ -76,20 +76,26 @@ def _ct_constants(n: int, inverse: bool):
     f1 = dft_matrix(n1, inverse)
     sign = 2j if inverse else -2j
     tw = np.exp(sign * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n)
+    # HOST arrays only: caching device arrays here would leak tracers when
+    # the first call happens inside a jit trace (observed: a second runner's
+    # scan reusing a cache entry populated during another runner's trace).
     return (
         n1,
         n2,
-        jnp.asarray(f2[0], jnp.float32),
-        jnp.asarray(f2[1], jnp.float32),
-        jnp.asarray(tw.real, jnp.float32),
-        jnp.asarray(tw.imag, jnp.float32),
-        jnp.asarray(f1[0], jnp.float32),
-        jnp.asarray(f1[1], jnp.float32),
+        np.asarray(f2[0], np.float32),
+        np.asarray(f2[1], np.float32),
+        np.asarray(tw.real, np.float32),
+        np.asarray(tw.imag, np.float32),
+        np.asarray(f1[0], np.float32),
+        np.asarray(f1[1], np.float32),
     )
 
 
 def _apply_ct(x: CArray, n: int, inverse: bool, passes: int = 3) -> CArray:
     n1, n2, f2r, f2i, twr, twi, f1r, f1i = _ct_constants(n, inverse)
+    f2r, f2i = jnp.asarray(f2r), jnp.asarray(f2i)
+    twr, twi = jnp.asarray(twr), jnp.asarray(twi)
+    f1r, f1i = jnp.asarray(f1r), jnp.asarray(f1i)
     lead = x.shape[:-1]
     b = int(np.prod(lead)) if lead else 1
 

@@ -108,9 +108,13 @@ _ACT_ROWS_TAPS = 4  # the tap loop keeps shifted planes live as well
 _MAX_KERNEL_TAPS = 16
 
 
+def _pad8(x: int) -> int:
+    return max(8, -(-x // 8) * 8)
+
+
 def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
           allow_taps: bool = False, fold: bool = False, diag: bool = False,
-          diag_txext: bool = False):
+          diag_txext: bool = False, lr: bool = False, lr_rank: int = 0):
     """(tile, conv_mode) whose scoped-VMEM stack estimate fits, or None.
 
     "taps" is tried only when `allow_taps`: the tap-shift kernel works at
@@ -134,6 +138,18 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
         if fold
         else (T + E) * T + dft_mm
     )
+    # "lr": low-rank ISI factorization (ops/lowrank.py) — the whole banded
+    # chain collapses to y = s*D + [t | t_prev] @ CrCp with t = s @ TailM
+    # (E = taps-1 tail lanes, padded to 8), plus an exact rank-r colored
+    # noise factor for ZP (z = g1 + g2 @ B^H).  Staged: TailM (n, EP),
+    # CrCp (2EP, n), B^H (RP, n), D rows, and (non-txext) the TX matrix
+    # for the PAPR statistic — two SKINNY matmuls per tile instead of the
+    # dense (T+E)-wide chain, at any width.
+    ep = _pad8(max(0, min(n_taps - 1, T)))
+    rp = _pad8(lr_rank) if lr_rank else 0
+    lr_staged = (
+        n * ep + 2 * ep * n + rp * n + (128 * 128 if diag_txext else n * T)
+    )
     for conv, staged, act_rows, TE, uu in (
         # "diag": ISI-free CP / flat links — the TX->conv->RX composite is
         # exactly diag(H) (CP turns the truncated stream convolution
@@ -148,6 +164,7 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
         # external-PAPR mode (diag_txext) NO TX matrices are staged at
         # all, so arbitrarily wide ISI-free links stay on the kernel.
         ("diag", 128 * 128 if diag_txext else max(1, 128 // n) ** 2 * n * T + 128 * 128, _ACT_ROWS_MM, T, u),  # OFDM only (_diag_for)
+        ("lr", lr_staged, _ACT_ROWS_MM, T, u),  # OFDM only (lr_factors)
         ("mm", mm_staged, _ACT_ROWS_MM, T + E, u),
         # "mm4": the same merged-conv kernel with 4-mult complex matmuls
         # (yr = xr@r - xi@i, yi = xr@i + xi@r) instead of Karatsuba — one
@@ -159,6 +176,8 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
         ("taps", dft_taps, _ACT_ROWS_TAPS, T, u),
     ):
         if conv == "diag" and not diag:
+            continue
+        if conv == "lr" and not lr:
             continue
         if conv == "taps" and not (allow_taps and 0 < n_taps <= _MAX_KERNEL_TAPS):
             continue
@@ -173,10 +192,58 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
     return None
 
 
+# Narrower real-ISI links stay on the lane-packed fold/mm kernels (measured
+# 280M+ OFDM syms/s at 64 subcarriers); the low-rank factored chain targets
+# links wide enough that the dense matmuls dominate.  Tests monkeypatch this
+# to exercise the lr kernel at CI-friendly widths.
+_LR_MIN_N = 256
+# Gate for the lr kernel mode (tests force it off to pin the fold/mm
+# baselines).
+_LR_ENABLED = True
+
+
+def lr_factors(runner):
+    """Cached ops.lowrank factorization for a runner's link (or None).
+
+    OFDM only (SC-FDE bins still need dense DFT matmuls — its wide links
+    keep the fold/mm4 chain); `lowrank.factor` verifies the factorization
+    residuals to ~1e-11 host-side, so a non-None result is load-bearing.
+    """
+    cached = getattr(runner, "_lr_factors_cache", "unset")
+    if cached != "unset":
+        return cached
+    s = runner.setup
+    cfg = s.cfg
+    f = None
+    if (
+        cfg.modulation_type != ModulationType.SC_OFDM
+        and cfg.num_subcarriers >= _LR_MIN_N
+        # E = 0 (single-tap ZP) has no tail at all — the fold/mm chain is
+        # already minimal there and the lr tail matmuls would be degenerate.
+        and linops.ext_width(
+            len(np.asarray(s.taps)), cfg.num_subcarriers + s.prefix_length
+        )
+        > 0
+    ):
+        from ofdm_tpu.ops import lowrank
+
+        f = lowrank.factor(
+            np.asarray(s.taps),
+            cfg.num_subcarriers,
+            cfg.prefix_type,
+            s.prefix_length,
+            cfg.modulation_type,
+        )
+    runner._lr_factors_cache = f
+    return f
+
+
 def plan_for(runner, passes: Optional[int] = None):
     """`_plan` for a runner's config; None when the kernel cannot fit."""
     s = runner.setup
     cfg = s.cfg
+    diag = _diag_for(cfg, s)
+    lrf = None if (diag or not _LR_ENABLED) else lr_factors(runner)
     return _plan(
         cfg.num_subcarriers + s.prefix_length,
         cfg.num_subcarriers,
@@ -185,8 +252,14 @@ def plan_for(runner, passes: Optional[int] = None):
         len(np.asarray(s.taps)),
         allow_taps=cfg.hotpath == "pallas",
         fold=_fold_for(cfg),
-        diag=_diag_for(cfg, s),
-        diag_txext=cfg.num_subcarriers >= 512 and cfg.papr_stride != 1,
+        diag=diag,
+        diag_txext=(
+            cfg.num_subcarriers >= 512
+            and cfg.papr_stride != 1
+            and not cfg.apply_power_allocation
+        ),
+        lr=lrf is not None,
+        lr_rank=0 if lrf is None else lrf.noise_rank,
     )
 
 
@@ -399,6 +472,85 @@ def psk_sector_arith(er, ei, order: int):
     return (s + jnp.where(t, 1, 0)) & (m - 1)
 
 
+def psk_sector_arith_vec(er, ei, mrow, cpm, spm, max_order: int):
+    """Per-lane-order PSK sector: ``round(angle(z) * M_k/2pi) mod M_k``.
+
+    The vector-order form of `psk_sector_arith` for adaptive PSK: ``mrow``
+    is a broadcastable int32 row of per-lane orders (1 on inactive lanes —
+    their sector masks to 0), ``cpm``/``spm`` are per-lane
+    ``cos(pi/M_k)``/``sin(pi/M_k)`` rows for the final half-step test, and
+    ``max_order`` is the static loop bound (the largest loaded order).
+    The rotation constants are shared across lanes (they depend only on
+    the iteration); lanes whose per-lane step has reached 0 stop both
+    accumulating and rotating, so every lane lands exactly where the
+    scalar search at its own order would.  Exact up to f32 rounding at
+    sector boundaries, like the scalar form.
+    """
+    neg = ei < 0.0
+    s = jnp.where(neg, mrow >> 1, 0)
+    er = jnp.where(neg, -er, er)
+    ei = jnp.where(neg, -ei, ei)
+    if max_order >= 4:
+        c = (er < 0.0) & (mrow >= 4)
+        s = s + jnp.where(c, mrow >> 2, 0)
+        nr = jnp.where(c, ei, er)
+        ni = jnp.where(c, -er, ei)
+        er, ei = nr, ni
+    ang, shift = np.pi / 4, 3
+    while (max_order >> shift) >= 1:
+        step = mrow >> shift
+        ca, sa = np.float32(np.cos(ang)), np.float32(np.sin(ang))
+        t = (ei * ca - er * sa >= 0.0) & (step >= 1)
+        s = s + jnp.where(t, step, 0)
+        nr = er * ca + ei * sa
+        ni = ei * ca - er * sa
+        er = jnp.where(t, nr, er)
+        ei = jnp.where(t, ni, ei)
+        ang, shift = ang * 0.5, shift + 1
+    t = ei * cpm - er * spm >= 0.0
+    return (s + jnp.where(t, 1, 0)) & (mrow - 1)
+
+
+def boxmuller_sample(seed0: int, seed1: int, shape, interpret: bool = False):
+    """Sample (z0, z1) N(0,1) planes with the fused kernel's EXACT noise chain.
+
+    Same ops in the same order as the kernel's AWGN block (hardware PRNG ->
+    24-bit uniforms -> Box-Muller radius -> quarter-range polynomial phase),
+    so moment-testing these planes pins the kernel noise path numerically.
+    Used by bench.py's always-on moment gate (every scored bench run checks
+    mean/var/3-sigma tail on the real chip) and by the deep opt-in hardware
+    test (tests/test_tpu_hardware.py).  ``shape`` rows must divide by 2048
+    or be <= 2048.
+    """
+    rows, lanes = shape
+    blk = min(rows, 2048)
+    if rows % blk:
+        raise ValueError(f"rows {rows} not a multiple of block {blk}")
+
+    def kern(seed_ref, z0_ref, z1_ref):
+        pltpu.prng_seed(
+            seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527), seed_ref[1]
+        )
+        rbits = pltpu.bitcast(pltpu.prng_random_bits(z0_ref.shape), jnp.int32)
+        u1 = jnp.maximum(
+            ((rbits >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24, _INV_2_24
+        )
+        b2 = pltpu.bitcast(pltpu.prng_random_bits(z0_ref.shape), jnp.int32)
+        rad = jnp.sqrt(-2.0 * jnp.log(u1))
+        co, si = _cossin_u24((b2 >> 8) & 0xFFFFFF)
+        z0_ref[:] = rad * co
+        z1_ref[:] = rad * si
+
+    return pl.pallas_call(
+        kern,
+        grid=(rows // blk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec((blk, lanes), lambda i: (i, 0)),) * 2,
+        out_shape=(jax.ShapeDtypeStruct(shape, jnp.float32),) * 2,
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(jnp.asarray([seed0, seed1], jnp.int32))
+
+
 def selected_passes(runner) -> int:
     """bf16 split passes the fused kernel will use for `runner`'s config.
 
@@ -434,14 +586,16 @@ def selected_passes(runner) -> int:
 def _adaptive_supported(s) -> bool:
     """Adaptive mode runs in-kernel for square-QAM order layouts (the
     CAPACITY_BASED QAM loader always produces even bit widths,
-    mapping.qam_bit_loading_orders)."""
-    if s.amap.kind != "QAM":
-        return False  # PSK adaptive falls back to the XLA planar codec
+    mapping.qam_bit_loading_orders) and for power-of-2 PSK layouts (the
+    vector-order rotation sector search, psk_sector_arith_vec)."""
     active = s.amap.orders[s.amap.orders > 0]
     if active.size == 0:
         return False
-    roots = np.sqrt(active.astype(np.float64))
-    return bool(np.all(np.round(roots) ** 2 == active))
+    if s.amap.kind == "QAM":
+        roots = np.sqrt(active.astype(np.float64))
+        return bool(np.all(np.round(roots) ** 2 == active))
+    logs = np.round(np.log2(active.astype(np.float64)))
+    return bool(np.all(2.0**logs == active))
 
 
 def supports(runner, interpret: bool = False) -> bool:
@@ -462,14 +616,18 @@ def supports(runner, interpret: bool = False) -> bool:
             return False
         if s.const.coding not in ("gray", "none"):
             return False
-    return not (
-        cfg.apply_power_allocation
-        or cfg.normalize_before_demap
-        or (jax.default_backend() in ("cpu", "gpu") and not interpret)
-        # Halo (exact contiguous-stream) sharding exchanges the carry via
-        # ppermute between kernel-external shard bodies — XLA path only.
-        or getattr(runner, "stream_mode", "independent") == "halo"
-    )
+    if getattr(runner, "stream_mode", "independent") == "halo":
+        # Halo (exact contiguous-stream) sharding keeps the fused kernel
+        # (round 4): each shard's chunk-final carry is a pure function of
+        # its PRNG stream (the kernel's carry OUT never reads the carry
+        # IN), so make_carry_probe reproduces it cheaply BEFORE the chunk
+        # runs and parallel.sweep ppermutes it between pallas_calls.
+        # Probe-less modes (ISI-free diag: carry vestigial) fall back to
+        # the XLA halo body.
+        p = plan_for(runner)
+        if p is None or p[1] == "diag":
+            return False
+    return not (jax.default_backend() in ("cpu", "gpu") and not interpret)
 
 
 class _Spec(NamedTuple):
@@ -489,14 +647,37 @@ class _Spec(NamedTuple):
     n: int
     L: int
     is_sc: bool
-    mode: str  # "qam" | "psk" | "aqam"
-    order: int  # 0 for aqam
+    mode: str  # "qam" | "psk" | "aqam" | "apsk"
+    order: int  # 0 for aqam/apsk
     is_gray: bool
-    bits: int  # bits per symbol; for aqam: static unroll width (max order)
+    bits: int  # bits per symbol; for aqam/apsk: static unroll width (max order)
     passes: int
     add_noise: bool
     method: EqualizationMethod
     interpret: bool
+    # TX power scaling (config.apply_power_allocation): the traced (n,)
+    # sqrt-power vector arrives as a lane-row kernel input and scales the
+    # constellation points right after encode — exactly chunk_body's
+    # cplx.scale(symbols, sqrt_power) (reference simulation/models.py:508,
+    # applied in the experiment scripts).  Per-point waterfilling rows ride
+    # the same executable (traced, like snr_db).
+    apply_power: bool = False
+    # Pre-demap global unit-power normalization (config.normalize_before_
+    # demap; reference NORMALIZATION_FIX.md semantics).  The mean |data|^2
+    # is measured per grid TILE (>= 64k samples) instead of per chunk —
+    # the same estimator contract as the kernel's AWGN power measurement.
+    # The QAM slicer-units fold moves from the equalizer stage to the
+    # post-normalization scale (one fused multiply), so decisions match
+    # chunk_body's normalize -> slice order exactly.
+    normalize: bool = False
+    # Experiment stage (noise_bump study; not reachable from
+    # SimulationConfig): per-lane colored noise added AFTER equalization
+    # (post_noise) and a per-lane 1/sqrt(P) compensation multiply
+    # (compensate).  Their traced rows ride the sqrt_power argument as a
+    # stacked (3, n) array [sqrt_power, inv_sqrt_power, noise_std] — see
+    # make_noise_bump_chunk.
+    post_noise: bool = False
+    compensate: bool = False
     # PAPR sampling stride (diag mode only; 1 elsewhere): the TX time plane
     # is computed on every pstride-th grid tile.  See config.papr_stride.
     pstride: int = 1
@@ -527,6 +708,15 @@ class _Spec(NamedTuple):
     # by design — timing attribution only (tools/kernel_attrib.py).  Part
     # of the spec so ablated executables never alias real ones.
     ablate: str = ""
+    # "lr" mode (low-rank ISI factorization, ops/lowrank.py): the tail
+    # width E = min(taps-1, T) (unpadded; staged matrices pad to 8 lanes)
+    # and the ZP colored-noise factor rank (0 = iid frequency noise).
+    # The kernel carry is the (EP,) tail row; the EXTERNAL carry contract
+    # stays (T,) with only the last E lanes meaningful (zeros elsewhere) —
+    # exactly the lanes every consumer reads (the banded conv_t1 rows /
+    # the mm kernel's ext select).
+    lre: int = 0
+    nrank: int = 0
 
     @property
     def T(self) -> int:
@@ -550,6 +740,7 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
     )
     if tile is None:
         return None
+    lrf = lr_factors(runner) if conv == "lr" else None
     # Lane packing (see _Spec.pack): p symbols per plane row while the
     # packed frequency width stays within one vreg's 128 lanes and the
     # packed tile keeps at least one full sublane group of rows.  diag
@@ -571,7 +762,7 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
         ):
             pack *= 2
     if s.is_adaptive:
-        mode = "aqam"
+        mode = "aqam" if s.amap.kind == "QAM" else "apsk"
         order = 0
         is_gray = True  # make_constellation default (mapping.py:148)
         # Static unroll width from the ACTUAL loaded orders.  The reference's
@@ -605,7 +796,7 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
         ctaps=len(np.asarray(s.taps)) if conv == "taps" else 0,
         ext=(
             linops.ext_width(len(np.asarray(s.taps)), cfg.num_subcarriers + s.prefix_length)
-            if conv not in ("taps", "diag")
+            if conv in ("mm", "mm4")
             else 0
         ),
         n=cfg.num_subcarriers,
@@ -622,16 +813,62 @@ def _spec_for(runner, num_syms: int, interpret: bool) -> Optional[_Spec]:
         # auto = 32: ~one sampled tile per bench-sized chunk; measured knee
         # (64sc: 216.6M stride-1 -> 238.5M stride-8 -> 246.5M stride-32
         # marginal; wide 1024sc AWGN: 90.6 -> 64.9 -> ~52 ns/sym).
-        pstride=(cfg.papr_stride or 32) if conv == "diag" else 1,
+        pstride=(cfg.papr_stride or 32) if conv in ("diag", "lr") else 1,
         pack=pack,
         # papr_stride=1 is the explicit "exact in-kernel PAPR" opt-out.
+        # apply_power keeps the TX matrices staged: _papr_sample (the
+        # external-PAPR path) modulates unscaled symbols, so power-scaled
+        # links compute their PAPR in-kernel from the scaled TX plane.
+        # lr mode shares the external-PAPR contract: the PAPR statistic is
+        # channel-independent (TX side only), so the same sampled XLA
+        # modulate serves wide ISI links.
         txext=(
-            conv == "diag"
+            conv in ("diag", "lr")
             and cfg.num_subcarriers >= 512
             and cfg.papr_stride != 1
+            and not cfg.apply_power_allocation
         ),
         ablate=os.environ.get("OFDM_TPU_KERNEL_ABLATE", ""),
+        apply_power=cfg.apply_power_allocation,
+        normalize=cfg.normalize_before_demap,
+        lre=0 if lrf is None else lrf.E,
+        nrank=0 if lrf is None else lrf.noise_rank,
     )
+
+
+def _tx_ext_matrix(spec: _Spec, ftx):
+    """The mm-mode TX matrix: E duplicated tail columns so the kernel can
+    build the [x | tail(prev)] activation with a sublane roll + lane select
+    (no lane slicing); lane packing makes it block-diagonal.
+
+    The packed TX matrix emits each block q's ext lanes from block
+    (q-1) mod P's spectrum — so within a row every symbol's ISI tail is
+    already in place at the matmul itself, block 0's ext holds block P-1's
+    tail (consumed, after the sublane roll, as the previous ROW's
+    last-symbol tail), and the cross-row carry stays a roll + select like
+    the unpacked kernel.  Shared by _consts_for and the halo carry probe
+    (the probe must reproduce the kernel's carry row BITWISE)."""
+    n, T, E = spec.n, spec.T, spec.ext
+    if spec.pack > 1:
+        Pq, TEw = spec.pack, T + E
+        fr0, fi0 = ftx
+        fr = np.zeros((Pq * n, Pq * TEw), np.float64)
+        fi = np.zeros_like(fr)
+        for q in range(Pq):
+            rows = slice(q * n, (q + 1) * n)
+            fr[rows, q * TEw : q * TEw + T] = fr0
+            fi[rows, q * TEw : q * TEw + T] = fi0
+            if E:
+                prev = ((q - 1) % Pq) * n
+                prows = slice(prev, prev + n)
+                fr[prows, q * TEw + T : (q + 1) * TEw] = fr0[:, T - E : T]
+                fi[prows, q * TEw + T : (q + 1) * TEw] = fi0[:, T - E : T]
+        return fr, fi
+    fr, fi = ftx
+    if E:
+        fr = np.concatenate([fr, fr[:, T - E :]], axis=1)
+        fi = np.concatenate([fi, fi[:, T - E :]], axis=1)
+    return fr, fi
 
 
 def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
@@ -675,6 +912,35 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
                 eye = np.eye(spec.pack)
                 ftx = (np.kron(eye, ftx[0]), np.kron(eye, ftx[1]))
             consts = _complex_matrix_consts(*ftx, spec.passes)
+    elif spec.conv == "lr":
+        # Low-rank ISI factorization (ops/lowrank.py): the banded chain
+        # collapses to y = s*D + t@Cr + t_prev@Cp with t = s @ TailM — two
+        # SKINNY matmuls (E = taps-1 tail lanes, padded to 8) instead of
+        # the dense (T+E)-wide chain, at any width.  The TX matrix is
+        # staged only for the (strided) PAPR statistic; txext mode stages
+        # none at all.  ZP adds the exact rank-r colored-noise factor B^H.
+        f = lr_factors(runner)
+        assert f is not None and f.E == spec.lre
+        EP = _pad8(f.E)
+        tail_p = np.zeros((n, EP), np.complex128)
+        tail_p[:, : f.E] = f.tail
+        cr_p = np.zeros((EP, n), np.complex128)
+        cr_p[: f.E] = f.cr
+        cp_p = np.zeros((EP, n), np.complex128)
+        cp_p[: f.E] = f.cp
+        consts = [] if spec.txext else _complex_matrix_consts(*ftx, spec.passes)
+        consts += _complex_matrix_consts(tail_p.real, tail_p.imag, spec.passes)
+        consts += _complex_matrix_consts(cr_p.real, cr_p.imag, spec.passes)
+        consts += _complex_matrix_consts(cp_p.real, cp_p.imag, spec.passes)
+        if spec.nrank > 0 and spec.add_noise:
+            # z = g1 + g2 @ B^H reproduces cov = 2 sigma^2 (I + B B^H)
+            # = 2 sigma^2 Gram exactly (lowrank.py docstring); rank rows
+            # padded to 8 with zeros (pad g2 lanes multiply zero rows).
+            bh = f.bnoise.conj().T  # (r, n)
+            RP = _pad8(spec.nrank)
+            bh_p = np.zeros((RP, n), np.complex128)
+            bh_p[: spec.nrank] = bh
+            consts += _complex_matrix_consts(bh_p.real, bh_p.imag, spec.passes)
     elif spec.conv == "taps":
         # Wide links: the convolution runs as tap-shift FMAs (no (T, T)
         # Toeplitz matrices staged in scoped VMEM); taps ride in SMEM.
@@ -682,36 +948,7 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
             *rxm, spec.passes
         )
     else:
-        # Merged conv: ONE (T+E, T) matrix; the TX matrix gains E duplicated
-        # tail columns so the kernel can build the [x | tail(prev)] activation
-        # with a sublane roll + lane select (no lane slicing).
-        E = spec.ext
-        if spec.pack > 1:
-            # Lane packing: block-diagonal matmuls on packed planes.  The
-            # packed TX matrix emits each block q's ext lanes from block
-            # (q-1) mod P's spectrum — so within a row every symbol's ISI
-            # tail is already in place at the matmul itself, block 0's ext
-            # holds block P-1's tail (consumed, after the sublane roll, as
-            # the previous ROW's last-symbol tail), and the cross-row
-            # carry stays a roll + select like the unpacked kernel.
-            Pq, TEw = spec.pack, T + E
-            fr0, fi0 = ftx
-            fr = np.zeros((Pq * n, Pq * TEw), np.float64)
-            fi = np.zeros_like(fr)
-            for q in range(Pq):
-                rows = slice(q * n, (q + 1) * n)
-                fr[rows, q * TEw : q * TEw + T] = fr0
-                fi[rows, q * TEw : q * TEw + T] = fi0
-                if E:
-                    prev = ((q - 1) % Pq) * n
-                    prows = slice(prev, prev + n)
-                    fr[prows, q * TEw + T : (q + 1) * TEw] = fr0[:, T - E : T]
-                    fi[prows, q * TEw + T : (q + 1) * TEw] = fi0[:, T - E : T]
-        else:
-            fr, fi = ftx
-            if E:
-                fr = np.concatenate([fr, fr[:, T - E :]], axis=1)
-                fi = np.concatenate([fi, fi[:, T - E :]], axis=1)
+        fr, fi = _tx_ext_matrix(spec, ftx)
         if spec.fold:
             # conv folded into RX: ONE (T+E, n) matrix replaces the
             # (T+E, T) Toeplitz + (T, n) RX pair (linops.conv_rx_merged;
@@ -774,6 +1011,15 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
     else:
         slicer = None  # PSK demap is scale-invariant
 
+    if spec.conv == "lr":
+        # D = the circulant tap response (equals h_freq to fp precision for
+        # every shipped prefix algebra — lowrank.factor verifies the full
+        # reconstruction residual); staged as its own rows so the factored
+        # chain stays self-contained.
+        f = lr_factors(runner)
+        consts.append(_row(f.d.real))
+        consts.append(_row(f.d.imag))
+
     h = s.h_freq.astype(np.complex128)
     consts.append(_row(h.real))
     consts.append(_row(h.imag))
@@ -781,9 +1027,16 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
     # ZF gain rows precomputed with the reference's exact dead-bin semantics
     # (equalization/models.py:22-35): H==0 bins divide by eps=1e-10, giving
     # huge (not zero) symbols — matching the XLA path's intent exactly.
+    # Under normalize_before_demap the slicer fold moves to the
+    # post-normalization scale (the mean |data|^2 must be measured in data
+    # units, chunk_body's normalize -> slice order), so ZF rows stay raw.
     h_z = np.where(h == 0, np.complex128(1e-10), h)
     zf_g = 1.0 / h_z
-    if spec.method == EqualizationMethod.ZF and slicer is not None:
+    if (
+        spec.method == EqualizationMethod.ZF
+        and slicer is not None
+        and not spec.normalize
+    ):
         zf_g = zf_g * slicer
     consts.append(_row(zf_g.real))
     consts.append(_row(zf_g.imag))
@@ -815,6 +1068,23 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         consts.append(_row(aq_scales))
         # The pre-halved slicer gain row (0.5/scale; see _demap_tile).
         consts.append(_row(slicer))
+    elif spec.mode == "apsk":
+        # Adaptive PSK lane rows: masked index draw (order_k - 1; 0 on
+        # inactive lanes), per-lane order / bit-width for the encoder's
+        # 24-bit angle lattice, the 0/1 amplitude row (inactive lanes
+        # transmit 0, matching adaptive.encode_from_indices_planar), and
+        # the half-step cos/sin rows for psk_sector_arith_vec's final test.
+        orders_p = np.asarray(s.amap.orders)
+        active_p = orders_p > 0
+        m_eff = np.where(active_p, np.maximum(orders_p, 1), 1).astype(np.int64)
+        consts.append(_row(np.where(active_p, orders_p - 1, 0), np.int32))
+        consts.append(_row(m_eff, np.int32))
+        consts.append(
+            _row(np.where(active_p, np.round(np.log2(m_eff)), 0), np.int32)
+        )
+        consts.append(_row(active_p.astype(np.float64)))
+        consts.append(_row(np.cos(np.pi / m_eff)))
+        consts.append(_row(np.sin(np.pi / m_eff)))
 
     channel_gain = np.asarray([np.mean(np.abs(h) ** 2)], np.float32)  # SMEM scalar
     head = [jnp.asarray(channel_gain)]
@@ -848,8 +1118,20 @@ def _encode_tile(spec: _Spec, raw, aq):
     """Random bits -> (tx_idx, sr, si) constellation points (arithmetic codec).
 
     Shared by every kernel builder so the TX math is identical across conv
-    modes.  ``aq`` = (mask, mrow, logm, scale) loaded rows for adaptive QAM.
+    modes.  ``aq`` = (mask, mrow, logm, scale) loaded rows for adaptive QAM,
+    (mask, bitsrow, amp) for adaptive PSK.
     """
+    if spec.mode == "apsk":
+        # Per-lane masked draw, then the fixed-mode PSK arithmetic with
+        # per-lane bit widths: the 24-bit angle lattice shift and the
+        # inverse-gray unroll are exact for any word narrower than
+        # spec.bits (higher bits are 0), and inactive lanes (bits=0,
+        # mask=0) transmit amplitude 0 like the XLA adaptive codec.
+        mask, bitsrow, amp = aq
+        tx_idx = raw & mask
+        p = _inv_gray_static(tx_idx, spec.bits) if spec.is_gray else tx_idx
+        cs, sn = _cossin_u24(p << (24 - bitsrow))
+        return tx_idx, cs * amp, sn * amp
     if spec.mode == "aqam":
         # Per-subcarrier masked draw: uniform bits & (order_k - 1) is a
         # uniform index for subcarrier k (ops.adaptive.index_mask).
@@ -901,8 +1183,13 @@ def _demap_tile(spec: _Spec, er, ei, aq):
     clips, instead of a per-bin divide plus the affine chain.  PSK demap
     is scale-invariant and takes raw symbols.
 
-    ``aq`` = (mrow, logm) loaded rows for adaptive QAM."""
+    ``aq`` = (mrow, logm) loaded rows for adaptive QAM,
+    (mrow, cpm, spm) for adaptive PSK."""
     bits = spec.bits
+    if spec.mode == "apsk":
+        mrow, cpm, spm = aq
+        sector = psk_sector_arith_vec(er, ei, mrow, cpm, spm, 1 << bits)
+        return _gray_static(sector) if spec.is_gray else sector
     if spec.mode == "aqam":
         mrow, lrow = aq
         mf = mrow.astype(jnp.float32)
@@ -949,6 +1236,7 @@ def _fn_for_spec(spec: _Spec):
     """
     n, L, T = spec.n, spec.L, spec.T
     is_aqam = spec.mode == "aqam"
+    is_apsk = spec.mode == "apsk"
     bits = spec.bits
     passes = spec.passes
     tiles = spec.tiles
@@ -959,18 +1247,26 @@ def _fn_for_spec(spec: _Spec):
     conv_taps = spec.conv == "taps"
     quad = spec.conv == "mm4"  # 4-mult complex matmuls (wide links)
     diag = spec.conv == "diag"  # ISI-free: conv+RX == diag(h_freq) exactly
+    lr_mode = spec.conv == "lr"  # low-rank factored ISI (ops/lowrank.py)
     fold = spec.fold  # conv+RX as one matmul, AWGN per frequency bin
     ctaps = spec.ctaps
     ext = spec.ext  # mm mode: prev-tail lanes in the conv activation
     TE = T + ext  # width of the TX output / prev planes / carry rows
-    # taps mode reads full previous rows; mm mode only the ext tail lanes.
+    # lr mode: tail lanes padded to a full sublane group; colored ZP noise
+    # factor rank (0 = iid frequency noise, CP/none prefixes).
+    EP = _pad8(spec.lre) if lr_mode else 0
+    colored = lr_mode and spec.nrank > 0 and add_noise
+    RP = _pad8(spec.nrank) if colored else 0
+    # taps mode reads full previous rows; mm mode only the ext tail lanes;
+    # lr mode rolls its own (EP-wide) tail planes inline.
     need_prev = (conv_taps and ctaps > 1) or ext > 0
     # Lane packing (diag + fold modes — see _Spec.pack): P symbols per
-    # plane row.  CW is the packed time-plane / carry-row width.
+    # plane row.  CW is the packed time-plane / carry-row width (the tail
+    # row width in lr mode).
     P = spec.pack
     ROWS = TILE // P  # plane rows per grid step (still TILE symbols)
     W = P * n  # frequency-plane width
-    CW = P * TE  # time-plane width == carry row width
+    CW = EP if lr_mode else P * TE  # time/tail-plane width == carry row width
     has_mseg = P > 1 and method == EqualizationMethod.MMSE
 
     def kernel(
@@ -992,6 +1288,20 @@ def _fn_for_spec(spec: _Spec):
             ncm_tx = 0 if spec.txext else ncm
             ftx_c = refs[:ncm_tx]
             rest = refs[ncm_tx:]
+        elif lr_mode:
+            # [ftx?] + TailM + Cr + Cp [+ B^H] — the TX matrix only feeds
+            # the (strided) PAPR statistic, like diag mode.
+            (carry_re_ref, carry_im_ref, *refs) = args
+            ncm_tx = 0 if spec.txext else ncm
+            ftx_c = refs[:ncm_tx]
+            tail_c = refs[ncm_tx : ncm_tx + ncm]
+            lcr_c = refs[ncm_tx + ncm : ncm_tx + 2 * ncm]
+            lcp_c = refs[ncm_tx + 2 * ncm : ncm_tx + 3 * ncm]
+            off0 = ncm_tx + 3 * ncm
+            if colored:
+                bh_c = refs[off0 : off0 + ncm]
+                off0 += ncm
+            rest = refs[off0:]
         elif fold:
             # conv folded into RX: [ftx | cmrx] only (cv_c IS the RX).
             (carry_re_ref, carry_im_ref, *refs) = args
@@ -1008,11 +1318,24 @@ def _fn_for_spec(spec: _Spec):
         if is_sc:
             idft_c = rest[:ncm]
             rest = rest[ncm:]
+        if lr_mode:
+            (dre_ref, dim_ref, *rest) = rest
         (hre_ref, him_ref, habs2_ref, zfgr_ref, zfgi_ref, *rest) = rest
         if has_mseg:
             (mseg_hi_ref, mseg_lo_ref, *rest) = rest
         if is_aqam:
             (mask_ref, mrow_ref, logm_ref, scale_ref, invs_ref, *rest) = rest
+        if is_apsk:
+            (pmask_ref, pm_ref, pbits_ref, pamp_ref, pcpm_ref, pspm_ref, *rest) = rest
+        # Traced per-point lane rows (inputs, not consts — they vary per
+        # sweep point like snr_db): TX sqrt-power, 1/sqrt(P) compensation,
+        # post-equalization colored-noise std.
+        if spec.apply_power:
+            (sp_ref, *rest) = rest
+        if spec.compensate:
+            (comp_ref, *rest) = rest
+        if spec.post_noise:
+            (nstd_ref, *rest) = rest
         (
             be_ref, se_ref, pmax_ref, psum_ref, cout_re_ref, cout_im_ref,
             prev_re, prev_im,
@@ -1024,12 +1347,20 @@ def _fn_for_spec(spec: _Spec):
 
         # --- TX: random indices -> constellation points (arithmetic) -------
         raw = pltpu.bitcast(pltpu.prng_random_bits((ROWS, W)), jnp.int32)
-        aq_enc = (
-            (mask_ref[:], mrow_ref[:], logm_ref[:], scale_ref[:])
-            if is_aqam
-            else None
-        )
+        if is_aqam:
+            aq_enc = (mask_ref[:], mrow_ref[:], logm_ref[:], scale_ref[:])
+        elif is_apsk:
+            aq_enc = (pmask_ref[:], pbits_ref[:], pamp_ref[:])
+        else:
+            aq_enc = None
         tx_idx, sr, si = _encode_tile(spec, raw, aq_enc)
+        if spec.apply_power:
+            # TX power scaling (chunk_body: cplx.scale(symbols, sqrt_power))
+            # — everything downstream (PAPR plane, measured AWGN power, the
+            # diag BER chain) sees the scaled symbols, like the XLA path.
+            sp_row = sp_ref[:]
+            sr = sr * sp_row
+            si = si * sp_row
 
         # --- modulate (IDFT + guard) ------------------------------------------
         # mm mode: the TX matrix carries `ext` duplicated tail columns, so
@@ -1069,7 +1400,31 @@ def _fn_for_spec(spec: _Spec):
                 lane_t = lane_t | ((lane >= q * TE) & (lane < q * TE + T))
             take_prev = (lane >= T) & (lane < TE)
         strided_papr = diag and spec.pstride > 1
-        if abl_notx:
+        if lr_mode:
+            # lr PAPR mirrors diag's strided/external contract, but the
+            # carry is the tail plane (written in the conv section below),
+            # so the sampled-TX block here touches ONLY the PAPR stats.
+            strided_papr = True  # skip the generic TX/carry writes below
+            if "notx" in abl or spec.txext:
+                @pl.when(i == 0)
+                def _():
+                    pmax_ref[0, 0] = 0.0
+                    psum_ref[0, 0] = 0.0
+            else:
+                @pl.when((i & (spec.pstride - 1)) == 0)
+                def _():
+                    xr_, xi_ = _cmatmul(
+                        sr, si, tuple(c[:] for c in ftx_c), passes, quad
+                    )
+                    pwr = xr_ * xr_ + xi_ * xi_
+                    first = i == 0
+                    pmax_ref[0, 0] = jnp.where(
+                        first, jnp.max(pwr), jnp.maximum(pmax_ref[0, 0], jnp.max(pwr))
+                    )
+                    psum_ref[0, 0] = jnp.where(
+                        first, jnp.sum(pwr), psum_ref[0, 0] + jnp.sum(pwr)
+                    )
+        elif abl_notx:
             strided_papr = True  # skip the unconditional TX/carry writes below
             @pl.when(i == 0)
             def _():
@@ -1147,6 +1502,37 @@ def _fn_for_spec(spec: _Spec):
             him0 = him_ref[:]
             yr = sr * hre0 - si * him0
             yi = sr * him0 + si * hre0
+        elif lr_mode:
+            # Low-rank factored chain (ops/lowrank.py): the block's last E
+            # time samples t = s @ TailM (one SKINNY n->EP matmul) drive
+            # both ISI corrections — y = s*D + t@Cr + t_prev@Cp — and the
+            # cross-tile carry (t IS the tail the banded kernel exchanges).
+            tr_, ti_ = _cmatmul(sr, si, tuple(c[:] for c in tail_c), passes, quad)
+            ptr = pltpu.roll(tr_, 1, 0)
+            pti = pltpu.roll(ti_, 1, 0)
+            firstr = jax.lax.broadcasted_iota(jnp.int32, (ROWS, EP), 0) == 0
+
+            @pl.when(i == 0)
+            def _():
+                prev_re[:] = jnp.where(firstr, carry_re_ref[0, :][None, :], ptr)
+                prev_im[:] = jnp.where(firstr, carry_im_ref[0, :][None, :], pti)
+
+            @pl.when(i != 0)
+            def _():
+                prev_re[:] = jnp.where(firstr, cout_re_ref[0, :][None, :], ptr)
+                prev_im[:] = jnp.where(firstr, cout_im_ref[0, :][None, :], pti)
+
+            cyr, cyi = _cmatmul(tr_, ti_, tuple(c[:] for c in lcr_c), passes, quad)
+            pyr, pyi = _cmatmul(
+                prev_re[:], prev_im[:], tuple(c[:] for c in lcp_c), passes, quad
+            )
+            dre0 = dre_ref[:]
+            dim0 = dim_ref[:]
+            yr = sr * dre0 - si * dim0 + cyr + pyr
+            yi = sr * dim0 + si * dre0 + cyi + pyi
+            # next tile's carry: this tile's last tail row
+            cout_re_ref[0, :] = tr_[ROWS - 1, :]
+            cout_im_ref[0, :] = ti_[ROWS - 1, :]
         elif conv_taps:
             # Tap-shift FMA form of the same banded Toeplitz product
             # (linops.conv_matrices semantics): lane c of tap k reads
@@ -1197,8 +1583,17 @@ def _fn_for_spec(spec: _Spec):
         # and mean power over the n kept bins equals the time-domain mean
         # by Parseval (same per-tile estimator contract as before).
         if add_noise:
-            nshape = (ROWS, W) if fold else (ROWS, P * T)
+            # lr mode adds noise per frequency bin at any prefix: for
+            # CP/none the strip+DFT rows are orthonormal (iid bins, the
+            # fold argument); for ZP the rank-r factor below reproduces
+            # cov = 2 sigma^2 Gram exactly.  The ZP measured-power scale
+            # n/T converts the freq-bin mean (the n-sample overlap-added
+            # window's energy) to the reference's T-sample time mean —
+            # equal in expectation (lowrank.pw_scale).
+            nshape = (ROWS, W) if (fold or lr_mode) else (ROWS, P * T)
             mp_ = jnp.mean(yr * yr + yi * yi)
+            if lr_mode and not fold:
+                mp_ = mp_ * np.float32(n / T)
             sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
             rbits = pltpu.bitcast(pltpu.prng_random_bits(nshape), jnp.int32)
             u1 = jnp.maximum(
@@ -1211,11 +1606,29 @@ def _fn_for_spec(spec: _Spec):
             # cheap VPU ops — the library cos alone was ~30% of the whole
             # kernel (see the _COS_Z comment).
             co, si_ = _cossin_u24((b2 >> 8) & 0xFFFFFF)
-            yr = yr + sigma * rad * co
-            yi = yi + sigma * rad * si_
+            zr_ = rad * co
+            zi_ = rad * si_
+            if colored:
+                # ZP colored noise: z = g1 + g2 @ B^H (g2 iid complex
+                # N(0,1) over RP rank lanes; pad lanes hit zero rows).
+                gb1 = pltpu.bitcast(pltpu.prng_random_bits((ROWS, RP)), jnp.int32)
+                gu1 = jnp.maximum(
+                    ((gb1 >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24,
+                    _INV_2_24,
+                )
+                gb2 = pltpu.bitcast(pltpu.prng_random_bits((ROWS, RP)), jnp.int32)
+                grad = jnp.sqrt(-2.0 * jnp.log(gu1))
+                gco, gsi = _cossin_u24((gb2 >> 8) & 0xFFFFFF)
+                cnr, cni = _cmatmul(
+                    grad * gco, grad * gsi, tuple(c[:] for c in bh_c), passes, quad
+                )
+                zr_ = zr_ + cnr
+                zi_ = zi_ + cni
+            yr = yr + sigma * zr_
+            yi = yi + sigma * zi_
 
-        # --- RX (guard strip + DFT; a no-op in fold mode) -------------------------
-        if fold:
+        # --- RX (guard strip + DFT; a no-op in fold/lr modes) ----------------------
+        if fold or lr_mode:
             fr, fi_ = yr, yi
         else:
             fr, fi_ = _cmatmul(yr, yi, tuple(c[:] for c in rx_c), passes, quad)
@@ -1223,15 +1636,20 @@ def _fn_for_spec(spec: _Spec):
         # --- equalize ---------------------------------------------------------------
         # Slicer-units gain folded into the equalizer (see _demap_tile):
         # QAM scales by 0.5/scale (trace-time scalar), adaptive QAM by the
-        # pre-halved per-lane inv-scale row, PSK not at all.
+        # pre-halved per-lane inv-scale row, PSK not at all.  Under
+        # normalize_before_demap the fold DEFERS to the post-normalization
+        # scale (the mean |data|^2 must be measured in data units — the
+        # XLA path's normalize -> slice order).
         if spec.mode == "qam":
             slicer_k = np.float32(0.5 / _qam_geometry(spec.order)[2])
         elif is_aqam:
             slicer_k = None  # invs_ref rows (already 0.5/scale per lane)
         else:
             slicer_k = np.float32(1.0)
+        defer_slicer = spec.normalize and spec.mode in ("qam", "aqam")
         if method == EqualizationMethod.ZF:
-            # ZF gain rows arrive pre-scaled to slicer units (host side).
+            # ZF gain rows arrive pre-scaled to slicer units (host side;
+            # raw under normalize — see _consts_for).
             gr = zfgr_ref[:]
             gi = zfgi_ref[:]
             er = fr * gr - fi_ * gi
@@ -1250,18 +1668,21 @@ def _fn_for_spec(spec: _Spec):
                 sp = jnp.mean(fr * fr + fi_ * fi_, axis=1, keepdims=True)  # (Bt, 1)
             nv = sp / snr_lin / cg_ref[0]
             # The slicer gain rides the divide's numerator — zero extra ops.
-            g = (invs_ref[:] if slicer_k is None else slicer_k) / (
-                habs2_ref[:] + nv
-            )
+            if defer_slicer:
+                g = np.float32(1.0) / (habs2_ref[:] + nv)
+            else:
+                g = (invs_ref[:] if slicer_k is None else slicer_k) / (
+                    habs2_ref[:] + nv
+                )
             er = (fr * hre + fi_ * him) * g
             ei = (fi_ * hre - fr * him) * g
         else:
-            if slicer_k is None:
-                er, ei = fr * invs_ref[:], fi_ * invs_ref[:]
-            elif spec.mode == "qam":
-                er, ei = fr * slicer_k, fi_ * slicer_k
-            else:
+            if defer_slicer or slicer_k is not None and spec.mode != "qam":
                 er, ei = fr, fi_
+            elif slicer_k is None:
+                er, ei = fr * invs_ref[:], fi_ * invs_ref[:]
+            else:
+                er, ei = fr * slicer_k, fi_ * slicer_k
 
         if is_sc:
             # SC-FDE: equalized frequency bins -> time-domain symbols.
@@ -1272,8 +1693,51 @@ def _fn_for_spec(spec: _Spec):
                 quad,
             )
 
+        # --- post-equalization stages (experiment semantics; see _Spec) -------
+        if spec.post_noise:
+            # Colored noise per subcarrier AFTER equalization (reference
+            # waterfilling_noise_bump_experiment.py:165-172), in data units
+            # (the slicer fold is deferred under normalize).
+            prow = nstd_ref[:]
+            zb1 = pltpu.bitcast(pltpu.prng_random_bits((ROWS, W)), jnp.int32)
+            zu1 = jnp.maximum(
+                ((zb1 >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24,
+                _INV_2_24,
+            )
+            zb2 = pltpu.bitcast(pltpu.prng_random_bits((ROWS, W)), jnp.int32)
+            zrad = jnp.sqrt(-2.0 * jnp.log(zu1))
+            zco, zsi = _cossin_u24((zb2 >> 8) & 0xFFFFFF)
+            er = er + prow * zrad * zco
+            ei = ei + prow * zrad * zsi
+        if spec.compensate:
+            # 1/sqrt(P) power compensation (experiment :174-178; the 1e-10
+            # dead-lane guard is applied host-side when building the row).
+            crow = comp_ref[:]
+            er = er * crow
+            ei = ei * crow
+        if spec.normalize:
+            # Global unit-power normalization before demapping (chunk_body's
+            # normalize_before_demap; reference NORMALIZATION_FIX.md /
+            # experiment :180-183), measured per grid tile (same estimator
+            # contract as the AWGN power measurement).  The deferred slicer
+            # fold rides the same multiply.
+            avg = jnp.mean(er * er + ei * ei)
+            f = jnp.where(avg > 1e-10, 1.0 / jnp.sqrt(avg), 1.0)
+            if defer_slicer:
+                frow = f * (invs_ref[:] if slicer_k is None else slicer_k)
+                er = er * frow
+                ei = ei * frow
+            else:
+                er = er * f
+                ei = ei * f
+
         # --- demap (arith slicer) + error counts --------------------------------------
-        aq_dec = (mrow_ref[:], logm_ref[:]) if is_aqam else None
+        if is_aqam:
+            aq_dec = (mrow_ref[:], logm_ref[:])
+        elif is_apsk:
+            aq_dec = (pm_ref[:], pcpm_ref[:], pspm_ref[:])
+        else:
+            aq_dec = None
         rx_idx = tx_idx if abl_nodemap else _demap_tile(spec, er, ei, aq_dec)
 
         if abl_nored:
@@ -1327,19 +1791,29 @@ def _fn_for_spec(spec: _Spec):
 
     # --- pallas_call wiring ---------------------------------------------------
     ncm_out = 2 if quad else (3 if passes == 1 else 6)
-    n_cmats = (0 if spec.txext else 1) if diag else (2 if (conv_taps or fold) else 3)
+    if diag:
+        n_cmats = 0 if spec.txext else 1
+    elif lr_mode:
+        # [ftx?] + TailM + Cr + Cp [+ B^H]
+        n_cmats = (0 if spec.txext else 1) + 3 + (1 if colored else 0)
+    else:
+        n_cmats = 2 if (conv_taps or fold) else 3
     n_vmem_consts = (
         (n_cmats + (1 if is_sc else 0)) * ncm_out
         + 5
+        + (2 if lr_mode else 0)  # D rows
         + (2 if has_mseg else 0)
         + (5 if is_aqam else 0)
+        + (6 if is_apsk else 0)
     )
+    # Traced per-point lane rows (sqrt-power / compensation / noise-std).
+    n_traced_rows = int(spec.apply_power) + int(spec.compensate) + int(spec.post_noise)
     n_smem = 5 if conv_taps else 3  # + tap re/im rows in taps mode
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem
         + [vmem_full] * 2  # carry planes (1, TE)
-        + [vmem_full] * n_vmem_consts
+        + [vmem_full] * (n_vmem_consts + n_traced_rows)
     )
     out_shape = (
         jax.ShapeDtypeStruct((1, 1), jnp.int32),  # bit errors
@@ -1382,7 +1856,24 @@ def _fn_for_spec(spec: _Spec):
     num_syms = tiles * TILE
 
     def fn(key, carry: CArray, snr_db, sqrt_power, consts):
-        del sqrt_power  # not applied in supported configs
+        # Traced per-point lane rows (tiled across the pack like the
+        # constant rows).  In experiment mode (post_noise/compensate) the
+        # sqrt_power argument is a stacked (3, n) array
+        # [sqrt_power, inv_sqrt_power, noise_std] — see make_noise_bump_chunk.
+        rows_in = []
+        if spec.post_noise or spec.compensate:
+            spv = jnp.asarray(sqrt_power, jnp.float32)
+            sp_v, comp_v, nstd_v = spv[0], spv[1], spv[2]
+        else:
+            sp_v, comp_v, nstd_v = sqrt_power, None, None
+        if spec.apply_power:
+            rows_in.append(
+                jnp.tile(jnp.asarray(sp_v, jnp.float32), spec.pack).reshape(1, W)
+            )
+        if spec.compensate:
+            rows_in.append(jnp.tile(comp_v, spec.pack).reshape(1, W))
+        if spec.post_noise:
+            rows_in.append(jnp.tile(nstd_v, spec.pack).reshape(1, W))
         if conv_taps:
             cg, tre, tim, *mats = consts
             smem_extra = (tre, tim)
@@ -1390,7 +1881,17 @@ def _fn_for_spec(spec: _Spec):
             cg, *mats = consts
             smem_extra = ()
         data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)[:2].astype(jnp.int32)
-        if ext:
+        if lr_mode:
+            # The kernel carry is the (EP,) tail row: the external (T,)
+            # carry's last E lanes, zero-padded to the sublane group.
+            pad = EP - spec.lre
+            base_re = jnp.concatenate(
+                [carry.re[T - spec.lre :], jnp.zeros((pad,), jnp.float32)]
+            )
+            base_im = jnp.concatenate(
+                [carry.im[T - spec.lre :], jnp.zeros((pad,), jnp.float32)]
+            )
+        elif ext:
             # External carry contract stays (T,); the kernel's carry rows
             # carry the ext (duplicated-tail) layout the TX plane uses.
             base_re = jnp.concatenate([carry.re, carry.re[T - ext :]])
@@ -1409,6 +1910,7 @@ def _fn_for_spec(spec: _Spec):
             cre_in,
             cim_in,
             *mats,
+            *rows_in,
         )
         # Strided diag PAPR: only every pstride-th tile contributes samples.
         sampled_tiles = 0 if spec.txext else -(-spec.tiles // spec.pstride)
@@ -1419,6 +1921,16 @@ def _fn_for_spec(spec: _Spec):
             "papr_sum": psum[0, 0],
             "papr_count": jnp.asarray(sampled_tiles * TILE * T, jnp.float32),
         }
+        if lr_mode:
+            # t IS the stream's last E time samples (lowrank.py): return
+            # the (T,) external contract with only those lanes live —
+            # exactly the lanes every consumer reads (banded conv_t1 rows
+            # / the mm kernel's ext select / this kernel's tail carry).
+            zpad = jnp.zeros((T - spec.lre,), jnp.float32)
+            return stats, CArray(
+                jnp.concatenate([zpad, cre[0, : spec.lre]]),
+                jnp.concatenate([zpad, cim[0, : spec.lre]]),
+            )
         # The raw last packed row's block P-1 data lanes ARE the stream's
         # last time row (the external carry contract).
         off = (spec.pack - 1) * TE
@@ -1437,6 +1949,194 @@ def make_pallas_chunk_lifted(runner, num_syms: int, interpret: bool = False):
     spec = _spec_for(runner, num_syms, interpret)
     if spec is None:
         return None
+    return _fn_for_spec(spec), _consts_for(runner, spec), spec
+
+
+def _probe_consts_for(runner, spec: _Spec):
+    """Constants for the carry probe: the TX-side matrices + encode rows."""
+    s = runner.setup
+    cfg = s.cfg
+    n, L, T = spec.n, spec.L, spec.T
+    quad = spec.conv == "mm4"
+    if spec.conv == "lr":
+        f = lr_factors(runner)
+        EP = _pad8(f.E)
+        tail_p = np.zeros((n, EP), np.complex128)
+        tail_p[:, : f.E] = f.tail
+        consts = _complex_matrix_consts(tail_p.real, tail_p.imag, spec.passes)
+    else:
+        ftx = linops.tx_matrix(n, cfg.prefix_type, L, cfg.modulation_type)
+        fr, fi = _tx_ext_matrix(spec, ftx)
+        consts = _complex_matrix_consts(fr, fi, spec.passes, quad)
+
+    def _row(a, dtype=np.float32):
+        r = np.asarray(a, dtype).reshape(1, n)
+        return np.tile(r, (1, spec.pack)) if spec.pack > 1 else r
+
+    if spec.mode == "aqam":
+        from ofdm_tpu.ops.mapping import make_constellation
+
+        orders = s.amap.orders
+        active = orders > 0
+        aq_scales = np.zeros(n, dtype=np.float64)
+        for k_, o in enumerate(orders):
+            if o > 0:
+                aq_scales[k_] = make_constellation("QAM", int(o)).scale
+        m_side = np.where(active, np.round(np.sqrt(np.maximum(orders, 1))), 1).astype(np.int64)
+        logm = np.where(active, np.round(np.log2(np.maximum(m_side, 1))), 0).astype(np.int64)
+        consts.append(_row(np.where(active, orders - 1, 0), np.int32))
+        consts.append(_row(m_side, np.int32))
+        consts.append(_row(logm, np.int32))
+        consts.append(_row(aq_scales))
+    elif spec.mode == "apsk":
+        orders_p = np.asarray(s.amap.orders)
+        active_p = orders_p > 0
+        m_eff = np.where(active_p, np.maximum(orders_p, 1), 1).astype(np.int64)
+        consts.append(_row(np.where(active_p, orders_p - 1, 0), np.int32))
+        consts.append(
+            _row(np.where(active_p, np.round(np.log2(m_eff)), 0), np.int32)
+        )
+        consts.append(_row(active_p.astype(np.float64)))
+    return tuple(jnp.asarray(c) for c in consts)
+
+
+@functools.lru_cache(maxsize=None)
+def _probe_fn_for_spec(spec: _Spec):
+    """Carry probe kernel for `spec` — see make_carry_probe."""
+    n, T = spec.n, spec.T
+    TILE, tiles, passes = spec.tile, spec.tiles, spec.passes
+    quad = spec.conv == "mm4"
+    lr_flag = spec.conv == "lr"
+    P = spec.pack
+    ROWS = TILE // P
+    W = P * n
+    EP = _pad8(spec.lre) if lr_flag else 0
+    CW = EP if lr_flag else P * (T + spec.ext)
+    ncm = 2 if quad else (3 if passes == 1 else 6)
+    is_aqam = spec.mode == "aqam"
+    is_apsk = spec.mode == "apsk"
+
+    def kernel(seed_ref, *args):
+        mats = args[:ncm]
+        rest = args[ncm:]
+        if is_aqam:
+            (mask_ref, mrow_ref, logm_ref, scale_ref, *rest) = rest
+        if is_apsk:
+            (pmask_ref, pbits_ref, pamp_ref, *rest) = rest
+        if spec.apply_power:
+            (sp_ref, *rest) = rest
+        out_re, out_im = rest
+        # The LAST grid tile's seed, then the same first draw the chunk
+        # kernel makes — the probe's plane carries the identical raw bits.
+        pltpu.prng_seed(
+            seed_ref[0] + jnp.int32(tiles - 1) * jnp.int32(-1640531527),
+            seed_ref[1],
+        )
+        raw = pltpu.bitcast(pltpu.prng_random_bits((ROWS, W)), jnp.int32)
+        if is_aqam:
+            aq = (mask_ref[:], mrow_ref[:], logm_ref[:], scale_ref[:])
+        elif is_apsk:
+            aq = (pmask_ref[:], pbits_ref[:], pamp_ref[:])
+        else:
+            aq = None
+        _, sr, si = _encode_tile(spec, raw, aq)
+        if spec.apply_power:
+            sr = sr * sp_ref[:]
+            si = si * sp_ref[:]
+        # FULL-tile matmul, same shapes as the chunk kernel's: per-row dot
+        # accumulation order can depend on the operand shape, and the probe
+        # must be BITWISE equal to the kernel's carry row.
+        xr, xi = _cmatmul(sr, si, tuple(c[:] for c in mats), passes, quad)
+        out_re[0, :] = xr[ROWS - 1, :]
+        out_im[0, :] = xi[ROWS - 1, :]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (
+            ncm
+            + (4 if is_aqam else 0)
+            + (3 if is_apsk else 0)
+            + (1 if spec.apply_power else 0)
+        ),
+        out_specs=(
+            pl.BlockSpec((1, CW), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        )
+        * 2,
+        out_shape=(jax.ShapeDtypeStruct((1, CW), jnp.float32),) * 2,
+        interpret=pltpu.InterpretParams() if spec.interpret else False,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_COMPILER_LIMIT),
+    )
+
+    def pfn(key, sqrt_power, pconsts):
+        rows_in = []
+        if spec.apply_power:
+            spv = jnp.asarray(sqrt_power, jnp.float32)
+            if spec.post_noise or spec.compensate:
+                spv = spv[0]
+            rows_in.append(jnp.tile(spv, P).reshape(1, W))
+        data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)[:2].astype(jnp.int32)
+        cre, cim = call(data, *pconsts, *rows_in)
+        if lr_flag:
+            zpad = jnp.zeros((T - spec.lre,), jnp.float32)
+            return CArray(
+                jnp.concatenate([zpad, cre[0, : spec.lre]]),
+                jnp.concatenate([zpad, cim[0, : spec.lre]]),
+            )
+        off = (P - 1) * (T + spec.ext)
+        return CArray(cre[0, off : off + T], cim[0, off : off + T])
+
+    return pfn
+
+
+def make_carry_probe(runner, num_syms: int, interpret: bool = False):
+    """(probe_fn, probe_consts) reproducing the chunk's carry OUT, or None.
+
+    ``probe_fn(key, sqrt_power, probe_consts)`` returns the EXACT (bitwise)
+    carry `make_pallas_chunk_lifted`'s fn would return for the same
+    arguments — without running the chunk.  Possible because the kernel's
+    carry out never reads the carry in: it is the last grid tile's last TX
+    row (lr: tail row), a pure function of that tile's PRNG stream.  This
+    is what lets halo (exact contiguous-stream) sharding keep the fused
+    kernel: each shard ppermutes its probe row to its right neighbor
+    BEFORE the chunk kernels run (parallel.sweep halo wiring), making the
+    shard-major stream's ISI chain contiguous across shard boundaries.
+
+    None for ISI-free diag links (the carry is vestigial there — no ISI
+    path consumes it; halo mode falls back to the XLA body) and for
+    unsupported configs."""
+    spec = _spec_for(runner, num_syms, interpret)
+    if spec is None or spec.conv == "diag":
+        return None
+    return _probe_fn_for_spec(spec), _probe_consts_for(runner, spec)
+
+
+def make_noise_bump_chunk(runner, num_syms: int, interpret: bool = False):
+    """Fused chunk with the noise-bump experiment's full semantics.
+
+    The reference experiment (waterfilling_noise_bump_experiment.py:43-260)
+    applies sqrt(P) at TX, runs the channel with NO noise, injects colored
+    noise per subcarrier AFTER equalization, compensates by 1/sqrt(P), and
+    normalizes to unit power before demapping.  ``runner`` must be prepared
+    with apply_power_allocation=True, normalize_before_demap=True and
+    noise_type=NONE; this adds the two experiment-only stages (post_noise,
+    compensate) to its spec.
+
+    Returned ``fn(key, carry, snr_db, rows, consts)`` takes ``rows`` as a
+    stacked (3, n) f32 array [sqrt_power, inv_sqrt_power (1e-10-guarded,
+    host side), noise_std].
+    """
+    spec = _spec_for(runner, num_syms, interpret)
+    if spec is None:
+        return None
+    if not (spec.apply_power and spec.normalize) or spec.add_noise:
+        raise ValueError(
+            "noise-bump kernel needs apply_power_allocation=True, "
+            "normalize_before_demap=True, noise_type=NONE"
+        )
+    spec = spec._replace(post_noise=True, compensate=True)
     return _fn_for_spec(spec), _consts_for(runner, spec), spec
 
 

@@ -147,23 +147,69 @@ class ShardedLinkRunner(LinkRunner):
         )
 
     def _shard_lifted(self, num_syms_global: int):
-        """Shared-executable sharded chunk: (fn, consts, spec, local) or None."""
-        if self.stream_mode == "halo" or num_syms_global % self.n_dev != 0:
+        """Shared-executable sharded chunk: (fn, consts, spec, local, probe).
+
+        ``probe`` is None in independent mode.  In halo mode it is the
+        (probe_fn, probe_consts) pair from pallas_link.make_carry_probe —
+        the kernel's carry out is a pure function of the shard's PRNG
+        stream, so each shard's halo row is computed and ppermuted BEFORE
+        the chunk kernel runs (`_halo_kernel_step`), keeping the fused
+        kernel under exact contiguous-stream sharding.  Returns None when
+        the kernel (or, in halo mode, the probe) is unavailable."""
+        if num_syms_global % self.n_dev != 0:
             return None
         local = num_syms_global // self.n_dev
         lifted = self._lifted(local)
         if lifted is None:
             return None
         fn, consts, spec = lifted
-        return fn, consts, spec, local
+        probe = None
+        if self.stream_mode == "halo":
+            from ofdm_tpu.ops import pallas_link
 
-    def _build_shard_pallas(self, fn, consts_tree):
-        """shard_map the per-spec shared kernel fn, consts as replicated args."""
+            probe = pallas_link.make_carry_probe(
+                self, local, interpret=self._interpret
+            )
+            if probe is None:
+                return None
+        return fn, consts, spec, local, probe
+
+    @staticmethod
+    def _halo_kernel_step(fn, pfn, k, carry_local, snr_db, sqrt_power, consts, pconsts):
+        """One halo-mode fused-kernel chunk: probe -> ppermute -> kernel.
+
+        The shard-major stream's ISI chain stays contiguous: shard d's
+        first row consumes shard d-1's chunk-final TX row (shard 0: the
+        previous chunk's global carry), bit-exactly — the probe reproduces
+        the kernel's carry out (tests pin equality), so the exchanged row
+        IS the row the unsharded chain would use.  Collectives per chunk:
+        one (T,)-row ppermute + one masked-psum broadcast, riding ICI."""
+        from ofdm_tpu.parallel import halo
+
+        last = pfn(k, sqrt_power, pconsts)
+        recv, is0, _ = halo._neighbor_shift(last, MC_AXIS)
+        carry_in = cplx.where(is0, carry_local, recv)
+        stats, _own = fn(k, carry_in, snr_db, sqrt_power, consts)
+        new_carry = halo._broadcast_from_shard0(recv, is0, MC_AXIS)
+        return stats, new_carry
+
+    def _build_shard_pallas(self, fn, consts_tree, probe=None):
+        """shard_map the per-spec shared kernel fn, consts as replicated args.
+
+        ``probe`` (halo mode): consts_tree is (consts, probe_consts) and
+        each chunk runs probe -> ppermute -> kernel (`_halo_kernel_step`)."""
+        pfn = None if probe is None else probe[0]
 
         def f(key, carry, snr_db, sqrt_power, consts):
             idx = jax.lax.axis_index(MC_AXIS)
             k = jax.random.fold_in(key, idx)
-            stats, new_carry = fn(k, carry[0], snr_db, sqrt_power, consts)
+            if pfn is not None:
+                consts_, pconsts = consts
+                stats, new_carry = self._halo_kernel_step(
+                    fn, pfn, k, carry[0], snr_db, sqrt_power, consts_, pconsts
+                )
+            else:
+                stats, new_carry = fn(k, carry[0], snr_db, sqrt_power, consts)
             stats["bit_errors"] = jax.lax.psum(stats["bit_errors"], MC_AXIS)
             stats["symbol_errors"] = jax.lax.psum(stats["symbol_errors"], MC_AXIS)
             stats["papr_peak"] = jax.lax.pmax(stats["papr_peak"], MC_AXIS)
@@ -193,20 +239,21 @@ class ShardedLinkRunner(LinkRunner):
         if not return_symbols:
             lifted = self._shard_lifted(num_syms)
             if lifted is not None:
-                fn, consts, spec, local = lifted
-                jkey = ("sstep", spec, self.mesh)
+                fn, consts, spec, local, probe = lifted
+                allconsts = consts if probe is None else (consts, probe[1])
+                jkey = ("sstep", spec, self.mesh, self.stream_mode)
                 j = _SHARED_SHARD_JIT.get(jkey)
                 if j is None:
-                    sm = self._build_shard_pallas(fn, consts)
+                    sm = self._build_shard_pallas(fn, allconsts, probe=probe)
                     j = _SHARED_SHARD_JIT.setdefault(jkey, jax.jit(sm))
-                return lambda key, carry, snr, sp: j(key, carry, snr, sp, consts)
+                return lambda key, carry, snr, sp: j(key, carry, snr, sp, allconsts)
         key_ = ("sstep", num_syms, return_symbols)
         if key_ not in self._jitted:
             fn, _ = self._shard_chunk(num_syms, return_symbols)
             self._jitted[key_] = jax.jit(fn)
         return self._jitted[key_]
 
-    def _build_shard_pallas_scan(self, fn, consts_tree, num_chunks: int):
+    def _build_shard_pallas_scan(self, fn, consts_tree, num_chunks: int, probe=None):
         """Whole-run shard_map: the chunk scan runs INSIDE the shard body.
 
         Collectives per RUN, not per chunk: the per-chunk scalar psums of the
@@ -217,15 +264,24 @@ class ShardedLinkRunner(LinkRunner):
         stacked so the host still accumulates totals in Python ints (int32
         counters never aggregate across chunks on-device)."""
 
+        pfn = None if probe is None else probe[0]
+
         def f(key, carry, snr_db, sqrt_power, consts):
             idx = jax.lax.axis_index(MC_AXIS)
+            if pfn is not None:
+                consts, pconsts = consts
 
             def body(cs, i):
                 # Same stream layout as the per-chunk formulation:
                 # shard key = fold_in(fold_in(run_key, chunk), shard).
                 c, acc = cs
                 k = jax.random.fold_in(jax.random.fold_in(key, i), idx)
-                stats, c2 = fn(k, c, snr_db, sqrt_power, consts)
+                if pfn is not None:
+                    stats, c2 = self._halo_kernel_step(
+                        fn, pfn, k, c, snr_db, sqrt_power, consts, pconsts
+                    )
+                else:
+                    stats, c2 = fn(k, c, snr_db, sqrt_power, consts)
                 return (c2, _acc_add(acc, stats)), None
 
             (carry2, acc), _ = jax.lax.scan(
@@ -263,13 +319,14 @@ class ShardedLinkRunner(LinkRunner):
     def _scan(self, num_chunks: int, num_syms: int):
         lifted = self._shard_lifted(num_syms)
         if lifted is not None:
-            fn, consts, spec, local = lifted
-            jkey = ("sscan", spec, self.mesh, num_chunks)
+            fn, consts, spec, local, probe = lifted
+            allconsts = consts if probe is None else (consts, probe[1])
+            jkey = ("sscan", spec, self.mesh, num_chunks, self.stream_mode)
             j = _SHARED_SHARD_JIT.get(jkey)
             if j is None:
-                sm = self._build_shard_pallas_scan(fn, consts, num_chunks)
+                sm = self._build_shard_pallas_scan(fn, allconsts, num_chunks, probe=probe)
                 j = _SHARED_SHARD_JIT.setdefault(jkey, jax.jit(sm))
-            return lambda key, carry0, snr, sp: j(key, carry0, snr, sp, consts)
+            return lambda key, carry0, snr, sp: j(key, carry0, snr, sp, allconsts)
         key_ = ("sscan", num_chunks, num_syms)
         if key_ not in self._jitted:
             fn, _ = self._shard_chunk(num_syms, False)
@@ -306,13 +363,17 @@ class ShardedLinkRunner(LinkRunner):
         lifted = self._shard_lifted(num_syms)
         if lifted is None:
             return None
-        fn, consts, spec, local = lifted
-        jkey = ("sgrid", spec, self.mesh, num_points, num_chunks)
+        fn, consts, spec, local, probe = lifted
+        allconsts = consts if probe is None else (consts, probe[1])
+        pfn = None if probe is None else probe[0]
+        jkey = ("sgrid", spec, self.mesh, num_points, num_chunks, self.stream_mode)
         j = _SHARED_SHARD_JIT.get(jkey)
         if j is None:
 
             def f(key, carry0, point_ids, snrs, sqrt_powers, consts_):
                 idx = jax.lax.axis_index(MC_AXIS)
+                if pfn is not None:
+                    consts_, pconsts = consts_
 
                 def pbody(_, xs):
                     p, snr, sp = xs
@@ -321,7 +382,12 @@ class ShardedLinkRunner(LinkRunner):
                     def cbody(cs, i):
                         c, acc_ = cs
                         k = jax.random.fold_in(jax.random.fold_in(pkey, i), idx)
-                        stats, c2 = fn(k, c, snr, sp, consts_)
+                        if pfn is not None:
+                            stats, c2 = self._halo_kernel_step(
+                                fn, pfn, k, c, snr, sp, consts_, pconsts
+                            )
+                        else:
+                            stats, c2 = fn(k, c, snr, sp, consts_)
                         return (c2, _acc_add(acc_, stats)), None
 
                     (c_end, acc_), _ = jax.lax.scan(
@@ -378,10 +444,15 @@ class ShardedLinkRunner(LinkRunner):
         )
 
     def _grid_multi_lift(self, chunk: int):
+        # Halo mode: probe consts are per-runner (adaptive order rows) and
+        # the stacked-consts grid doesn't carry them — the adaptive sweep
+        # falls back to looped sharded runs (which DO keep the halo kernel).
+        if self.stream_mode == "halo":
+            return None
         lifted = self._shard_lifted(chunk)
         if lifted is None:
             return None
-        fn, consts, spec, _local = lifted
+        fn, consts, spec, _local, _probe = lifted
         return fn, consts, spec
 
     def _grid_scan_multi(self, num_points: int, num_chunks: int, spec, fn, consts0):

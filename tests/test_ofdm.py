@@ -6,6 +6,7 @@ power preservation, OFDM and SC-FDE round trips, ZP circular-convolution
 equivalence.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -126,3 +127,31 @@ def test_sc_fde_round_trip_flat_channel():
     freq = ofdm.ofdm_demodulate_to_freq(tx, n, PrefixType.CYCLIC, 3)
     out = ofdm.sc_demodulate_from_freq(freq, n)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-10)
+
+
+def test_ct_constants_cache_is_trace_safe():
+    """dft._ct_constants must cache HOST arrays: a cache entry populated
+    inside one jit trace must not leak tracers into a later trace
+    (regression: a second XLA-path runner's scan crashed with
+    UnexpectedTracerError after another runner populated the cache)."""
+    from ofdm_tpu.ops import cplx, dft
+
+    dft._ct_constants.cache_clear()
+    n = 512
+    x = cplx.CArray(
+        jnp.asarray(np.random.default_rng(0).normal(size=(4, n)), jnp.float32),
+        jnp.zeros((4, n), jnp.float32),
+    )
+
+    @jax.jit
+    def f1(a):
+        return dft.ifft_ortho(a, n).re.sum()
+
+    @jax.jit
+    def f2(a):
+        return dft.fft_ortho(dft.ifft_ortho(a, n), n).im.sum()
+
+    f1(x)  # populates the cache inside f1's trace
+    f2(x)  # must not see f1's tracers
+    for c in dft._ct_constants(n, True)[2:]:
+        assert isinstance(c, np.ndarray)

@@ -228,10 +228,49 @@ def test_kernel_adaptive_qam_round_trip():
     assert carry.shape == (s.block_length,)
 
 
-def test_kernel_adaptive_psk_falls_back():
-    runner = _adaptive_runner(constellation_type=ConstellationType.PSK)
-    assert not pallas_link.supports(runner, interpret=True)
-    assert pallas_link.make_pallas_chunk(runner, 1024, interpret=True) is None
+def test_kernel_adaptive_psk_round_trip():
+    """Adaptive PSK runs IN the fused kernel (round 4): zero-index symbols
+    (zeroed emulator PRNG) decode exactly through the per-lane-order
+    rotation sector search; inactive subcarriers transmit 0 and count no
+    errors."""
+    runner = _adaptive_runner(
+        constellation_type=ConstellationType.PSK,
+        equalization_method=EqualizationMethod.ZF,
+    )
+    s = runner.setup
+    assert s.is_adaptive and s.amap.kind == "PSK"
+    assert pallas_link.supports(runner, interpret=True)
+    orders = np.asarray(s.amap.orders)
+    assert len(np.unique(orders[orders > 0])) > 1, "want a mixed-order layout"
+    stats, carry = _run_kernel(runner, snr=25.0)
+    assert int(stats["bit_errors"]) == 0
+    assert int(stats["symbol_errors"]) == 0
+    assert carry.shape == (s.block_length,)
+
+
+def test_psk_sector_arith_vec_matches_arctan2():
+    """The vector-order sector search == per-lane round(angle*M/2pi) mod M
+    for a mixed-order row (including order-1 'inactive' lanes -> 0)."""
+    rng = np.random.default_rng(5)
+    n = 256
+    mrow = rng.choice([1, 2, 4, 8, 16, 64, 256], size=n).astype(np.int32)
+    z = rng.normal(size=n) + 1j * rng.normal(size=n)
+    er = jnp.asarray(z.real, jnp.float32)[None, :]
+    ei = jnp.asarray(z.imag, jnp.float32)[None, :]
+    cpm = jnp.asarray(np.cos(np.pi / mrow), jnp.float32)[None, :]
+    spm = jnp.asarray(np.sin(np.pi / mrow), jnp.float32)[None, :]
+    got = np.asarray(
+        pallas_link.psk_sector_arith_vec(
+            er, ei, jnp.asarray(mrow)[None, :], cpm, spm, 256
+        )
+    )[0]
+    ang = np.arctan2(z.imag, z.real)
+    want = np.where(
+        mrow > 1,
+        np.round(ang * mrow / (2 * np.pi)).astype(np.int64) % mrow,
+        0,
+    )
+    assert np.array_equal(got, want)
 
 
 def test_executable_shared_across_channels_and_orders():
@@ -271,11 +310,13 @@ def test_supports_predicate():
         _runner(constellation_order=8, constellation_type=ConstellationType.PSK),
         interpret=True,
     )
-    assert not pallas_link.supports(
+    # Round 4: TX power scaling and pre-demap normalization run IN-kernel.
+    assert pallas_link.supports(
         pl.LinkRunner(pl.prepare(SimulationConfig(
             num_symbols=64 * 1024, constellation_order=64,
             channel_type=ChannelType.CUSTOM, channel_model="Lin-Phoong_P2",
-            apply_power_allocation=True, engine="planar", hotpath="pallas",
+            apply_power_allocation=True, normalize_before_demap=True,
+            engine="planar", hotpath="pallas",
         ))), interpret=True,
     )
 
@@ -327,7 +368,8 @@ def test_plan_shrinks_for_wide_configs():
     assert spec.tile == gran and spec.tiles == 2
 
     # With the guard SHORTER than the channel order the stream has real
-    # ISI, so the diag collapse is invalid and the plan stays on the
+    # ISI: round 4 takes the low-rank factored chain ("lr", ops/lowrank.py)
+    # — skinny tail matmuls at any width; gating lr off falls back to the
     # merged-Toeplitz mm form (prev-tail lanes in the activation).
     isi = pl.LinkRunner(pl.prepare(SimulationConfig(
         num_symbols=1024 * 512, num_subcarriers=1024, constellation_order=64,
@@ -335,7 +377,19 @@ def test_plan_shrinks_for_wide_configs():
         prefix_length_ratio=0.34, engine="planar", hotpath="pallas",
     )))
     spec_isi = pallas_link._spec_for(isi, 2 * isi._pallas_chunk_multiple(), True)
-    assert spec_isi is not None and spec_isi.conv == "mm" and spec_isi.ext > 0
+    assert spec_isi is not None and spec_isi.conv == "lr" and spec_isi.ext == 0
+    assert spec_isi.lre > 0 and spec_isi.nrank == 0  # CP: iid freq noise
+    try:
+        pallas_link._LR_ENABLED = False
+        isi_mm = pl.LinkRunner(pl.prepare(SimulationConfig(
+            num_symbols=1024 * 512, num_subcarriers=1024, constellation_order=64,
+            channel_type=ChannelType.CUSTOM, channel_model="severe_multipath",
+            prefix_length_ratio=0.34, engine="planar", hotpath="pallas",
+        )))
+        spec_mm = pallas_link._spec_for(isi_mm, 2 * isi_mm._pallas_chunk_multiple(), True)
+        assert spec_mm is not None and spec_mm.conv == "mm" and spec_mm.ext > 0
+    finally:
+        pallas_link._LR_ENABLED = True
 
 
 def test_tap_shift_conv_equals_toeplitz_matmuls():
@@ -377,15 +431,12 @@ def test_kernel_taps_conv_linear_chain(monkeypatch):
 
 def test_kernel_unsupported_configs_fall_back():
     odd = _runner()
+    # non-tile-multiple chunk sizes fall back
     assert pallas_link.make_pallas_chunk(odd, 1000, interpret=True) is None
-    # apply_power_allocation unsupported
-    assert pallas_link.make_pallas_chunk(
-        pl.LinkRunner(pl.prepare(SimulationConfig(
-            num_symbols=64 * 1024, constellation_order=64,
-            channel_type=ChannelType.CUSTOM, channel_model="Lin-Phoong_P2",
-            apply_power_allocation=True, engine="planar", hotpath="pallas",
-        ))), 1024, interpret=True
-    ) is None
+    # halo stream mode falls back (the carry exchange is kernel-external)
+    halo = _runner()
+    halo.stream_mode = "halo"
+    assert not pallas_link.supports(halo, interpret=True)
 
 
 def test_adaptive_spec_bits_cover_loaded_orders():
@@ -760,3 +811,270 @@ def test_wide_diag_external_papr():
     )))
     spec1 = pallas_link._spec_for(r1, 1024, True)
     assert spec1.conv == "diag" and not spec1.txext and spec1.pstride == 1
+
+
+# ---------------------------------------------------------------------------
+# Round 4: in-kernel TX power scaling / pre-demap normalization / experiment
+# stages.  Interpret mode: zeroed emulator PRNG -> every lane transmits
+# constellation index 0, so the expected decisions are computable in numpy
+# and the counters must match EXACTLY.
+# ---------------------------------------------------------------------------
+
+
+def _expected_counts(data_c, num_syms, order=64, bits=6):
+    """Expected (bit_errors, symbol_errors) demapping `data_c` (n,) complex
+    rows of index-0 transmissions, via the mapping oracle."""
+    from ofdm_tpu.ops import mapping as mp
+    from ofdm_tpu.ops import cplx
+
+    const = mp.make_constellation("QAM", order)
+    rx = np.asarray(
+        mp.decode_hard_planar(
+            cplx.CArray(
+                jnp.asarray(np.real(data_c), jnp.float32)[None, :],
+                jnp.asarray(np.imag(data_c), jnp.float32)[None, :],
+            ),
+            const,
+        )
+    )[0]
+    bit_err_row = np.array([bin(int(x)).count("1") for x in rx])
+    return num_syms * int(bit_err_row.sum()), num_syms * int((rx != 0).sum())
+
+
+def _p0(order=64):
+    from ofdm_tpu.ops import mapping as mp
+
+    return complex(mp.make_constellation("QAM", order).table[0])
+
+
+def test_kernel_apply_power_matches_oracle():
+    """apply_power_allocation runs IN the kernel: the scaled corner point's
+    decisions (per-lane sqrt-power row) match the mapping oracle exactly."""
+    runner = _runner(
+        noise_type=NoiseType.NONE,
+        equalization_method=EqualizationMethod.ZF,
+        apply_power_allocation=True,
+    )
+    assert pallas_link.supports(runner, interpret=True)
+    spec = pallas_link._spec_for(runner, 1024, True)
+    assert spec.apply_power and spec.conv == "diag"
+    fn = pallas_link.make_pallas_chunk(runner, 1024, interpret=True)
+    sqrt_power = np.linspace(0.52, 1.47, 64).astype(np.float32)
+    stats, _ = fn(
+        jax.random.PRNGKey(0),
+        runner._init_carry(),
+        jnp.float32(30.0),
+        jnp.asarray(sqrt_power),
+    )
+    be, se = _expected_counts(sqrt_power * _p0(), 1024)
+    assert int(stats["bit_errors"]) == be
+    assert int(stats["symbol_errors"]) == se
+
+
+def test_kernel_normalize_before_demap_matches_oracle():
+    """normalize_before_demap runs IN the kernel: data is normalized by the
+    tile's mean |data|^2 BEFORE slicing (deferred slicer fold), matching
+    chunk_body's order.  With apply_power the normalization is nontrivial."""
+    runner = _runner(
+        noise_type=NoiseType.NONE,
+        equalization_method=EqualizationMethod.ZF,
+        apply_power_allocation=True,
+        normalize_before_demap=True,
+    )
+    assert pallas_link.supports(runner, interpret=True)
+    spec = pallas_link._spec_for(runner, 1024, True)
+    assert spec.apply_power and spec.normalize
+    fn = pallas_link.make_pallas_chunk(runner, 1024, interpret=True)
+    sqrt_power = np.linspace(0.52, 1.47, 64).astype(np.float32)
+    stats, _ = fn(
+        jax.random.PRNGKey(0),
+        runner._init_carry(),
+        jnp.float32(30.0),
+        jnp.asarray(sqrt_power),
+    )
+    data = (sqrt_power * _p0()).astype(np.complex64)
+    avg = np.float32(np.mean(np.abs(data) ** 2))
+    be, se = _expected_counts(data / np.sqrt(avg), 1024)
+    assert int(stats["bit_errors"]) == be
+    assert int(stats["symbol_errors"]) == se
+    # sanity: normalization genuinely changed the decisions
+    be_raw, _ = _expected_counts(data, 1024)
+    assert be_raw != be
+
+
+def test_noise_bump_kernel_matches_oracle():
+    """The experiment chunk (post-eq colored noise + 1/sqrt(P) compensation
+    + normalization) matches a numpy replay of the emulator's deterministic
+    Box-Muller output (zero PRNG bits -> constant rad*cos offset)."""
+    runner = _runner(
+        noise_type=NoiseType.NONE,
+        equalization_method=EqualizationMethod.ZF,
+        apply_power_allocation=True,
+        normalize_before_demap=True,
+    )
+    lifted = pallas_link.make_noise_bump_chunk(runner, 1024, interpret=True)
+    assert lifted is not None
+    fn, consts, spec = lifted
+    assert spec.post_noise and spec.compensate
+    sqrt_power = np.linspace(0.52, 1.47, 64).astype(np.float32)
+    inv = sqrt_power.copy()
+    inv[inv < 1e-10] = 1.0
+    noise_std = np.full(64, 0.03, np.float32)
+    noise_std[48:] *= 2.0
+    rows = jnp.asarray(np.stack([sqrt_power, 1.0 / inv, noise_std]), jnp.float32)
+    stats, _ = fn(
+        jax.random.PRNGKey(0),
+        runner._init_carry(),
+        jnp.float32(30.0),
+        rows,
+        consts,
+    )
+    # Numpy replay: the emulator's zero PRNG bits give u1 = 2^-24 exactly,
+    # so rad = sqrt(-2 ln u1) is a constant and the phase is (cos, sin) of
+    # angle 0 = (1, 0): the "noise" is a deterministic real offset.
+    rad = np.float32(np.sqrt(-2.0 * np.log(np.float32(2.0**-24))))
+    data = (sqrt_power * _p0()).astype(np.complex64)
+    data = data + noise_std * rad
+    data = data * (1.0 / inv)
+    avg = np.float32(np.mean(np.abs(data) ** 2))
+    data = np.where(avg > 1e-10, data / np.sqrt(avg), data)
+    be, se = _expected_counts(data, 1024)
+    assert int(stats["bit_errors"]) == be
+    assert int(stats["symbol_errors"]) == se
+
+
+# ---------------------------------------------------------------------------
+# Round 4: low-rank factored ISI kernel ("lr", ops/lowrank.py).  CI-width
+# configs force the mode via _LR_MIN_N; expected counts come from an exact
+# f64 numpy replay (lowrank.apply_reference + the mapping oracle).
+# ---------------------------------------------------------------------------
+
+
+def _lr_runner(prefix, ratio, **kw):
+    base = dict(
+        num_symbols=64 * 2048,
+        num_subcarriers=64,
+        constellation_order=64,
+        channel_type=ChannelType.CUSTOM,
+        channel_model="severe_multipath",
+        prefix_type=prefix,
+        prefix_length_ratio=ratio,
+        equalization_method=EqualizationMethod.ZF,
+        noise_type=NoiseType.NONE,
+        snr_db=30.0,
+        symbols_per_chunk=1024,
+        engine="planar",
+        hotpath="pallas",
+        matmul_passes=3,
+    )
+    base.update(kw)
+    return pl.LinkRunner(pl.prepare(SimulationConfig(**base)))
+
+
+def test_lr_spec_selection(monkeypatch):
+    monkeypatch.setattr(pallas_link, "_LR_MIN_N", 64)
+    short_cp = _lr_runner(PrefixType.CYCLIC, 0.34)
+    s = pallas_link._spec_for(short_cp, 1024, True)
+    assert s.conv == "lr" and s.lre > 0 and s.ext == 0
+    assert s.nrank == 0  # CP strip+DFT rows orthonormal: iid freq noise
+    zp = _lr_runner(PrefixType.ZERO, 1.0)
+    sz = pallas_link._spec_for(zp, 1024, True)
+    assert sz.conv == "lr" and sz.lre > 0
+    assert sz.nrank > 0  # ZP overlap-add: rank-r colored noise factor
+    # diag configs never take lr (the elementwise chain is strictly better)
+    diag = _lr_runner(PrefixType.CYCLIC, 1.0)
+    assert pallas_link._spec_for(diag, 1024, True).conv == "diag"
+
+
+@pytest.mark.parametrize(
+    "prefix,ratio",
+    [(PrefixType.CYCLIC, 0.34), (PrefixType.ZERO, 1.0), (PrefixType.ZERO, 0.5)],
+)
+def test_lr_kernel_zero_prng_round_trip(monkeypatch, prefix, ratio):
+    """ZF, noise off: the index-0 corner point decodes exactly through the
+    factored chain — including the nonzero tail ISI corrections (the
+    corner spectrum has a nonzero time tail, so t@Cr / t_prev@Cp genuinely
+    fire)."""
+    monkeypatch.setattr(pallas_link, "_LR_MIN_N", 64)
+    runner = _lr_runner(prefix, ratio)
+    assert pallas_link._spec_for(runner, 1024, True).conv == "lr"
+    fn = pallas_link.make_pallas_chunk(runner, 1024, interpret=True)
+    stats, carry = fn(
+        jax.random.PRNGKey(0), runner._init_carry(), jnp.float32(30.0),
+        jnp.float32(1.0),
+    )
+    assert int(stats["bit_errors"]) == 0
+    assert int(stats["symbol_errors"]) == 0
+    assert carry.re.shape == (runner.setup.block_length,)
+
+
+def _lr_oracle_counts(runner, snr_db, rows_first, rows_rest):
+    """f64 replay: corner-point rows through lowrank.apply_reference +
+    the kernel's MMSE/slicer math + the mapping oracle.
+
+    Returns exact (bit_errors, symbol_errors) for ``rows_first`` rows with
+    zero prev-tail and ``rows_rest`` rows with steady-state prev-tail."""
+    from ofdm_tpu.ops import lowrank
+    from ofdm_tpu.ops import mapping as mp
+
+    s = runner.setup
+    cfg = s.cfg
+    f = lowrank.factor(
+        np.asarray(s.taps), cfg.num_subcarriers, cfg.prefix_type,
+        s.prefix_length, cfg.modulation_type,
+    )
+    n = cfg.num_subcarriers
+    p0 = complex(mp.make_constellation("QAM", cfg.constellation_order).table[0])
+    sym = np.full((2, n), p0, np.complex128)
+    bins = lowrank.apply_reference(f, sym, np.zeros(f.E), cfg.modulation_type)
+    # row 0: zero prev-tail; row 1: steady state (prev tail == own tail)
+    h = np.asarray(s.h_freq, np.complex128)
+    snr_lin = 10.0 ** (snr_db / 10.0)
+    be = se = 0
+    for row, reps in ((bins[0], rows_first), (bins[1], rows_rest)):
+        if cfg.equalization_method == EqualizationMethod.MMSE:
+            nv = np.mean(np.abs(row) ** 2) / snr_lin / np.mean(np.abs(h) ** 2)
+            data = row * np.conj(h) / (np.abs(h) ** 2 + nv)
+        else:
+            hz = np.where(h == 0, 1e-10, h)
+            data = row / hz
+        b, s_ = _expected_counts(data, 1, order=cfg.constellation_order)
+        be += reps * b
+        se += reps * s_
+    return be, se
+
+
+@pytest.mark.parametrize("prefix,ratio", [(PrefixType.ZERO, 1.0), (PrefixType.CYCLIC, 0.34)])
+def test_lr_kernel_mmse_matches_oracle(monkeypatch, prefix, ratio):
+    """MMSE at low SNR (noise off): the nv shrinkage corrupts the corner
+    point nontrivially, and the kernel's counts must equal the f64 replay
+    exactly — a fingerprint of the whole factored chain + equalizer +
+    slicer fold."""
+    monkeypatch.setattr(pallas_link, "_LR_MIN_N", 64)
+    runner = _lr_runner(prefix, ratio, equalization_method=EqualizationMethod.MMSE)
+    fn = pallas_link.make_pallas_chunk(runner, 1024, interpret=True)
+    stats, _ = fn(
+        jax.random.PRNGKey(0), runner._init_carry(), jnp.float32(6.0),
+        jnp.float32(1.0),
+    )
+    be, se = _lr_oracle_counts(runner, 6.0, 1, 1023)
+    assert se > 0, "want a nontrivial fingerprint"
+    assert int(stats["bit_errors"]) == be
+    assert int(stats["symbol_errors"]) == se
+
+
+def test_lr_scanned_run_carries_tail(monkeypatch):
+    """A chunked LinkRunner.run on the lr kernel: chunk 1's first row
+    consumes the external carry (zeros + tail lanes), so its counts equal
+    the steady-state rows — total = 1x zero-tail row + (B-1)x steady."""
+    monkeypatch.setattr(pallas_link, "_LR_MIN_N", 64)
+    runner = _lr_runner(
+        PrefixType.ZERO, 1.0, equalization_method=EqualizationMethod.MMSE,
+        num_symbols=64 * 2048, symbols_per_chunk=1024,
+    )
+    runner._interpret = True
+    res = runner.run(jax.random.PRNGKey(0), snr_db=6.0)
+    assert res["hotpath_used"] == "pallas"
+    be, se = _lr_oracle_counts(runner, 6.0, 1, 2047)
+    assert res["bit_errors"] == be
+    assert res["symbol_errors"] == se

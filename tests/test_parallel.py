@@ -277,3 +277,99 @@ def test_run_sweep_adaptive_per_point():
     o10 = np.array(results[0]["constellation_order_per_subcarrier"])
     o20 = np.array(results[1]["constellation_order_per_subcarrier"])
     assert o20.sum() > o10.sum()
+
+
+def test_carry_probe_matches_kernel_carry():
+    """pallas_link.make_carry_probe reproduces the chunk kernel's carry OUT
+    bitwise — the property that lets halo sharding exchange the halo row
+    BEFORE the chunk kernels run (round 4)."""
+    from ofdm_tpu.config import NoiseType
+    from ofdm_tpu.ops import pallas_link
+
+    for kw in (
+        # mm (CP short guard, packed lanes at 64 sc)
+        dict(prefix_length_ratio=0.5, noise_type=NoiseType.NONE,
+             equalization_method=EqualizationMethod.ZF),
+        # ZP 3-matmul chain
+        dict(prefix_type=PrefixType.ZERO, prefix_length_ratio=1.0),
+        # adaptive QAM (order rows enter the probe's encode)
+        dict(prefix_length_ratio=0.5,
+             power_allocation_type=PowerAllocationType.WATERFILLING,
+             adaptive_modulation_mode=AdaptiveModulationMode.CAPACITY_BASED),
+    ):
+        cfg = _cfg(engine="planar", hotpath="pallas", matmul_passes=3,
+                   num_symbols=64 * 1024, symbols_per_chunk=1024, **kw)
+        runner = pl.LinkRunner(pl.prepare(cfg))
+        runner._interpret = True
+        lifted = pallas_link.make_pallas_chunk_lifted(runner, 1024, interpret=True)
+        assert lifted is not None, kw
+        fn, consts, spec = lifted
+        assert spec.conv != "diag", kw
+        probe = pallas_link.make_carry_probe(runner, 1024, interpret=True)
+        assert probe is not None, kw
+        pfn, pconsts = probe
+        key = jax.random.PRNGKey(3)
+        sp = jnp.ones(64, jnp.float32)
+        _, carry = fn(key, runner._init_carry(), jnp.float32(18.0), sp, consts)
+        probed = pfn(key, sp, pconsts)
+        np.testing.assert_array_equal(np.asarray(carry.re), np.asarray(probed.re))
+        np.testing.assert_array_equal(np.asarray(carry.im), np.asarray(probed.im))
+
+
+def test_halo_fused_kernel_matches_chained_emulation():
+    """stream_mode="halo" now keeps the fused kernel: the sharded run's
+    counters equal a single-device emulation of the shard-major stream
+    (kernel chunks chained shard-by-shard with the same fold_in keys) —
+    the kernel-path analog of the XLA halo bit-exactness tests."""
+    from ofdm_tpu.config import NoiseType
+    from ofdm_tpu.ops import pallas_link
+    from ofdm_tpu.parallel.mesh import make_mesh
+
+    # 4-device submesh: the interpret-mode kernel blocks a host thread per
+    # concurrent shard, and more virtual devices than physical cores wedge
+    # the CPU client's pool (same bound as __graft_entry__.dryrun_multichip).
+    ndev = 4
+    n_ofdm = 1024 * ndev  # one global chunk: 1024 per shard (= the grid tile)
+    cfg = _cfg(engine="planar", hotpath="pallas", matmul_passes=3,
+               prefix_length_ratio=0.5, noise_type=NoiseType.NONE,
+               equalization_method=EqualizationMethod.MMSE, snr_db=8.0,
+               num_symbols=64 * n_ofdm)
+    runner = ShardedLinkRunner(
+        pl.prepare(cfg), mesh=make_mesh(num_devices=ndev), stream_mode="halo"
+    )
+    runner._interpret = True
+    lifted = runner._shard_lifted(n_ofdm)
+    assert lifted is not None, "halo mode must keep the fused kernel here"
+    fn, consts, spec, local, probe = lifted
+    assert probe is not None and spec.conv == "mm" and local == 1024
+    r = runner.run(jax.random.PRNGKey(5))
+    assert r["hotpath_used"] == "pallas"
+
+    # Single-device emulation of the same shard-major stream.
+    key = jax.random.PRNGKey(5)
+    carry = pl.LinkRunner(pl.prepare(cfg))._init_carry()  # unsharded (T,) zeros
+    be = se = 0
+    for chunk_i in range(1):
+        for d in range(ndev):
+            k = jax.random.fold_in(jax.random.fold_in(key, chunk_i), d)
+            stats, carry = fn(k, carry, jnp.float32(8.0), jnp.ones(64, jnp.float32), consts)
+            be += int(stats["bit_errors"])
+            se += int(stats["symbol_errors"])
+    assert r["bit_errors"] == be
+    assert r["symbol_errors"] == se
+
+
+def test_halo_diag_falls_back_to_xla_body():
+    """ISI-free (diag) links have a vestigial carry: halo mode keeps the
+    exact XLA body there (the kernel's diag chain never reads the carry)."""
+    from ofdm_tpu.config import NoiseType
+    from ofdm_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg(engine="planar", hotpath="pallas", matmul_passes=3,
+               noise_type=NoiseType.NONE,
+               equalization_method=EqualizationMethod.ZF)
+    runner = ShardedLinkRunner(pl.prepare(cfg), mesh=make_mesh(), stream_mode="halo")
+    runner._interpret = True
+    from ofdm_tpu.ops import pallas_link
+
+    assert not pallas_link.supports(runner, interpret=True)
