@@ -708,6 +708,12 @@ class _Spec(NamedTuple):
     # by design — timing attribution only (tools/kernel_attrib.py).  Part
     # of the spec so ablated executables never alias real ones.
     ablate: str = ""
+    # Chunk-0 symbol capture (LinkRunner.run collect_symbols): tile 0's
+    # equalized data plane (slicer fold undone -> DATA units, the XLA
+    # path's received_symbols) is written to two extra outputs.  The BER
+    # chain is untouched, so the dumped points are BITWISE the counted
+    # realization — no replay caveat.
+    dump: bool = False
     # "lr" mode (low-rank ISI factorization, ops/lowrank.py): the tail
     # width E = min(taps-1, T) (unpadded; staged matrices pad to 8 lanes)
     # and the ZP colored-noise factor rank (0 = iid frequency noise).
@@ -1336,10 +1342,16 @@ def _fn_for_spec(spec: _Spec):
             (comp_ref, *rest) = rest
         if spec.post_noise:
             (nstd_ref, *rest) = rest
-        (
-            be_ref, se_ref, pmax_ref, psum_ref, cout_re_ref, cout_im_ref,
-            prev_re, prev_im,
-        ) = rest
+        if spec.dump:
+            (
+                be_ref, se_ref, pmax_ref, psum_ref, cout_re_ref, cout_im_ref,
+                dump_re_ref, dump_im_ref, prev_re, prev_im,
+            ) = rest
+        else:
+            (
+                be_ref, se_ref, pmax_ref, psum_ref, cout_re_ref, cout_im_ref,
+                prev_re, prev_im,
+            ) = rest
         i = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + i * jnp.int32(-1640531527), seed_ref[1])
         # Mosaic lacks scalar powf; 10^(x/10) == exp(x * ln(10)/10).
@@ -1731,6 +1743,24 @@ def _fn_for_spec(spec: _Spec):
                 er = er * f
                 ei = ei * f
 
+        # --- chunk-0 symbol capture (spec.dump) ---------------------------------------
+        if spec.dump:
+            # Undo the slicer-units fold so the dumped plane is in DATA
+            # units (chunk_body's received_symbols): qam er = data *
+            # (0.5/scale), aqam per-lane via the staged invs row, PSK raw.
+            if spec.mode == "qam":
+                unfold = np.float32(1.0 / float(slicer_k))
+                der, dei = er * unfold, ei * unfold
+            elif is_aqam:
+                der, dei = er / invs_ref[:], ei / invs_ref[:]
+            else:
+                der, dei = er, ei
+
+            @pl.when(i == 0)
+            def _():
+                dump_re_ref[:] = der
+                dump_im_ref[:] = dei
+
         # --- demap (arith slicer) + error counts --------------------------------------
         if is_aqam:
             aq_dec = (mrow_ref[:], logm_ref[:])
@@ -1815,14 +1845,17 @@ def _fn_for_spec(spec: _Spec):
         + [vmem_full] * 2  # carry planes (1, TE)
         + [vmem_full] * (n_vmem_consts + n_traced_rows)
     )
-    out_shape = (
-        jax.ShapeDtypeStruct((1, 1), jnp.int32),  # bit errors
-        jax.ShapeDtypeStruct((1, 1), jnp.int32),  # symbol errors
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),  # papr max
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),  # papr sum
-        jax.ShapeDtypeStruct((1, CW), jnp.float32),  # carry out re (raw row)
-        jax.ShapeDtypeStruct((1, CW), jnp.float32),  # carry out im
-    )
+    out_shapes = [
+        ((1, 1), jnp.int32),  # bit errors
+        ((1, 1), jnp.int32),  # symbol errors
+        ((1, 1), jnp.float32),  # papr max
+        ((1, 1), jnp.float32),  # papr sum
+        ((1, CW), jnp.float32),  # carry out re (raw row)
+        ((1, CW), jnp.float32),  # carry out im
+    ]
+    if spec.dump:
+        out_shapes += [((ROWS, W), jnp.float32)] * 2  # tile-0 data plane re/im
+    out_shape = tuple(jax.ShapeDtypeStruct(sh, dt) for sh, dt in out_shapes)
     # Scalar accumulators live in SMEM (VMEM refs reject scalar stores).
     out_specs = tuple(
         pl.BlockSpec(
@@ -1830,7 +1863,7 @@ def _fn_for_spec(spec: _Spec):
             lambda i: (0, 0),
             memory_space=pltpu.SMEM if shape == (1, 1) else pltpu.VMEM,
         )
-        for shape in [(1, 1), (1, 1), (1, 1), (1, 1), (1, CW), (1, CW)]
+        for shape, _ in out_shapes
     )
 
     call = pl.pallas_call(
@@ -1902,7 +1935,7 @@ def _fn_for_spec(spec: _Spec):
         # lanes are consumed by the first-row select).
         cre_in = jnp.tile(base_re, spec.pack).reshape(1, CW)
         cim_in = jnp.tile(base_im, spec.pack).reshape(1, CW)
-        be, se, pmax, psum, cre, cim = call(
+        outs = call(
             data,
             jnp.asarray(snr_db, jnp.float32).reshape(1),
             cg,
@@ -1912,6 +1945,10 @@ def _fn_for_spec(spec: _Spec):
             *mats,
             *rows_in,
         )
+        if spec.dump:
+            be, se, pmax, psum, cre, cim, dmp_re, dmp_im = outs
+        else:
+            be, se, pmax, psum, cre, cim = outs
         # Strided diag PAPR: only every pstride-th tile contributes samples.
         sampled_tiles = 0 if spec.txext else -(-spec.tiles // spec.pstride)
         stats = {
@@ -1921,6 +1958,12 @@ def _fn_for_spec(spec: _Spec):
             "papr_sum": psum[0, 0],
             "papr_count": jnp.asarray(sampled_tiles * TILE * T, jnp.float32),
         }
+        if spec.dump:
+            # Tile 0's data plane, flattened symbol-major like chunk_body's
+            # received_symbols (packed rows hold P symbols side by side).
+            stats["received_symbols"] = CArray(
+                dmp_re.reshape(-1, n).reshape(-1), dmp_im.reshape(-1, n).reshape(-1)
+            )
         if lr_mode:
             # t IS the stream's last E time samples (lowrank.py): return
             # the (T,) external contract with only those lanes live —
@@ -2150,4 +2193,24 @@ def make_pallas_chunk(runner, num_syms: int, interpret: bool = False):
     if lifted is None:
         return None
     fn, consts, _ = lifted
+    return lambda key, carry, snr_db, sqrt_power: fn(key, carry, snr_db, sqrt_power, consts)
+
+
+def make_pallas_dump_chunk(runner, num_syms: int, interpret: bool = False):
+    """Fused chunk whose stats include ``received_symbols`` (tile 0's
+    equalized data plane, slicer fold undone -> DATA units, flattened
+    symbol-major like chunk_body's).
+
+    The BER chain is byte-for-byte the same computation as
+    make_pallas_chunk's — the capture is an extra gated output — so with
+    the scanned run's chunk-0 key the dumped constellation is BITWISE the
+    counted realization (replacing run()'s statistical XLA replay,
+    VERDICT r3 item 7).  Covers spec.tile OFDM symbols (>= 1024 on every
+    shipped plan — far above the 32768-bin plot cap)."""
+    spec = _spec_for(runner, num_syms, interpret)
+    if spec is None:
+        return None
+    spec = spec._replace(dump=True)
+    fn = _fn_for_spec(spec)
+    consts = _consts_for(runner, spec)
     return lambda key, carry, snr_db, sqrt_power: fn(key, carry, snr_db, sqrt_power, consts)

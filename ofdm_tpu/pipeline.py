@@ -897,18 +897,37 @@ class LinkRunner:
         received_sample = None
 
         if collect_symbols > 0:
-            # Replay chunk 0 with symbol capture.  The replay always runs the
-            # XLA chunk_body (return_symbols disables the fused kernel), so
-            # when the scanned bulk ran the Pallas kernel the sample is a
-            # *different random realization* drawn from the same seed — a
-            # statistically (not bitwise) representative constellation sample.
-            # With hotpath="matmul"/engine="complex" both paths are XLA and
-            # the sample is the exact chunk-0 data.
-            step0 = self._step(min(chunk, B), True)
-            stats0, _ = step0(
-                jax.random.fold_in(key, 0), self._init_carry(), snr_arr, sqrt_power
-            )
-            received_sample = cplx.to_numpy(stats0["received_symbols"])[:collect_symbols]
+            # Replay chunk 0 with symbol capture.  On the single-device
+            # Pallas path the dump-variant kernel re-runs chunk 0 with the
+            # scan's own key and captures tile 0's data plane as an extra
+            # output — the rendered constellation is BITWISE the counted
+            # realization.  Sharded runs and XLA paths replay chunk_body
+            # (exact on XLA; on the sharded kernel path the per-shard PRNG
+            # streams make the sample representative, not bitwise).
+            if hotpath_used == "pallas" and getattr(self, "n_dev", 1) == 1:
+                from ofdm_tpu.ops import pallas_link
+
+                key_ = ("dump", chunk)
+                if key_ not in self._jitted:
+                    dfn = pallas_link.make_pallas_dump_chunk(
+                        self, chunk, interpret=self._interpret
+                    )
+                    self._jitted[key_] = None if dfn is None else jax.jit(dfn)
+                jd = self._jitted[key_]
+                if jd is not None:
+                    stats0, _ = jd(
+                        jax.random.fold_in(key, 0), self._init_carry(),
+                        snr_arr, sqrt_power,
+                    )
+                    received_sample = cplx.to_numpy(
+                        stats0["received_symbols"]
+                    )[:collect_symbols]
+            if received_sample is None:
+                step0 = self._step(min(chunk, B), True)
+                stats0, _ = step0(
+                    jax.random.fold_in(key, 0), self._init_carry(), snr_arr, sqrt_power
+                )
+                received_sample = cplx.to_numpy(stats0["received_symbols"])[:collect_symbols]
 
         t0 = time.perf_counter()
         carry = self._init_carry()

@@ -1078,3 +1078,56 @@ def test_lr_scanned_run_carries_tail(monkeypatch):
     be, se = _lr_oracle_counts(runner, 6.0, 1, 2047)
     assert res["bit_errors"] == be
     assert res["symbol_errors"] == se
+
+
+def test_dump_chunk_captures_counted_data():
+    """make_pallas_dump_chunk: received_symbols are the counted chunk's
+    tile-0 data plane in DATA units — same BER counters as the plain
+    kernel, and the emulator's deterministic MMSE-shrunk corner point."""
+    from ofdm_tpu.ops import mapping as mp
+
+    runner = _runner(noise_type=NoiseType.NONE, snr_db=6.0)
+    dfn = pallas_link.make_pallas_dump_chunk(runner, 1024, interpret=True)
+    assert dfn is not None
+    key = jax.random.PRNGKey(2)
+    sp = jnp.ones(64, jnp.float32)
+    stats, carry = dfn(key, runner._init_carry(), jnp.float32(6.0), sp)
+    base, _ = pallas_link.make_pallas_chunk(runner, 1024, interpret=True)(
+        key, runner._init_carry(), jnp.float32(6.0), sp
+    )
+    assert int(stats["bit_errors"]) == int(base["bit_errors"])
+    assert int(stats["symbol_errors"]) == int(base["symbol_errors"])
+    sym = stats["received_symbols"]
+    data = np.asarray(sym.re) + 1j * np.asarray(sym.im)
+    assert data.shape == (1024 * 64,)
+    # f64 replay of the diag MMSE chain on the corner point.
+    s = runner.setup
+    h = np.asarray(s.h_freq, np.complex128)
+    p0 = complex(mp.make_constellation("QAM", 64).table[0])
+    y = p0 * h
+    snr_lin = 10.0 ** (6.0 / 10.0)
+    nv = np.mean(np.abs(y) ** 2) / snr_lin / np.mean(np.abs(h) ** 2)
+    want = y * np.conj(h) / (np.abs(h) ** 2 + nv)
+    got = data.reshape(1024, 64)
+    np.testing.assert_allclose(got[0], want, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(got[-1], want, rtol=2e-5, atol=2e-6)
+
+
+def test_run_collect_symbols_bitwise_on_pallas_path():
+    """LinkRunner.run(collect_symbols=...) on the fused path renders the
+    counted realization (dump kernel), not a replayed one."""
+    runner = _runner(
+        noise_type=NoiseType.NONE,
+        equalization_method=EqualizationMethod.ZF,
+        num_symbols=64 * 2048,
+        symbols_per_chunk=1024,
+    )
+    runner._interpret = True
+    res = runner.run(jax.random.PRNGKey(0), collect_symbols=256)
+    assert res["hotpath_used"] == "pallas"
+    sym = res["received_symbols"]
+    assert sym.shape[0] == 256
+    from ofdm_tpu.ops import mapping as mp
+
+    p0 = complex(mp.make_constellation("QAM", 64).table[0])
+    np.testing.assert_allclose(sym, np.full(256, p0), rtol=2e-6, atol=2e-7)
