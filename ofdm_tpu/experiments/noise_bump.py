@@ -235,7 +235,7 @@ class _FusedLink:
 
     def run_point(self, key, scenario: Scenario, noise_profile: np.ndarray,
                   snr_db: float) -> float:
-        from ofdm_tpu.pipeline import _acc_totals
+        from ofdm_tpu.pipeline import _acc_fetch
 
         h2 = np.abs(self.runner.setup.h_freq) ** 2
         power = scenario_power(scenario, h2, noise_profile, snr_db)
@@ -246,8 +246,8 @@ class _FusedLink:
         rows = jnp.asarray(
             np.stack([sqrt_power, 1.0 / inv, noise_std]), jnp.float32
         )
-        acc = jax.tree.map(np.asarray, self._run(key, jnp.float32(snr_db), rows))
-        be, _se, _pp, _ps, _pc = _acc_totals(acc)
+        # Single-transfer totals (the relay pays ~140 ms per round trip).
+        be, _se, _pp, _ps, _pc = _acc_fetch(self._run(key, jnp.float32(snr_db), rows))
         return be / (self.B * self.n * self.bits)
 
 

@@ -200,6 +200,13 @@ _LR_MIN_N = 256
 # Gate for the lr kernel mode (tests force it off to pin the fold/mm
 # baselines).
 _LR_ENABLED = True
+# ISI-free links keep the pure-elementwise diag chain up to this width
+# (measured: diag 20.9 ps/bin at 2048 sc vs lr 42.8); beyond it the diag
+# kernel degrades catastrophically (~3.1 ns/bin at 4096 sc, 2026-08-20 —
+# a >16-vreg-wide lane pathology) while the lr factored chain holds
+# ~44 ps/bin at any width, so giant ISI-free links route through lr
+# (D = h_freq exactly; the correction matmuls carry zero rows).
+_DIAG_MAX_N = 2048
 
 
 def lr_factors(runner):
@@ -242,7 +249,7 @@ def plan_for(runner, passes: Optional[int] = None):
     """`_plan` for a runner's config; None when the kernel cannot fit."""
     s = runner.setup
     cfg = s.cfg
-    diag = _diag_for(cfg, s)
+    diag = _diag_for(cfg, s) and cfg.num_subcarriers <= _DIAG_MAX_N
     lrf = None if (diag or not _LR_ENABLED) else lr_factors(runner)
     return _plan(
         cfg.num_subcarriers + s.prefix_length,

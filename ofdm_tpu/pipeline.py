@@ -269,6 +269,56 @@ def _acc_totals(acc, idx=None):
     return be, se, float(g(acc["papr_peak"])), papr_sum, int(round(papr_count))
 
 
+@jax.jit
+def _acc_pack(acc):
+    """Device-side pack of a scalar accumulator into ONE (9,) f32 vector
+    (int32 counters travel bitcast — exact transport)."""
+    ints = jnp.stack(
+        [jnp.asarray(acc[k], jnp.int32) for k in ("be_lo", "be_hi", "se_lo", "se_hi")]
+    )
+    fi = jax.lax.bitcast_convert_type(ints, jnp.float32)
+    fl = jnp.stack(
+        [
+            jnp.asarray(acc[k], jnp.float32)
+            for k in ("papr_peak", "papr_sum", "papr_sum_c", "papr_count", "papr_count_c")
+        ]
+    )
+    return jnp.concatenate([fi, fl])
+
+
+@jax.jit
+def _stats_pack(stats):
+    return _acc_pack(_acc_add(_acc_init(), stats))
+
+
+def _stats_fetch(stats):
+    """Single-transfer totals for one chunk's stats dict (see _acc_fetch)."""
+    v = np.asarray(_stats_pack({k: stats[k] for k in (
+        "bit_errors", "symbol_errors", "papr_peak", "papr_sum", "papr_count"
+    )}))
+    ints = v[:4].view(np.int32)
+    be = (int(ints[1]) << 24) + int(ints[0])
+    se = (int(ints[3]) << 24) + int(ints[2])
+    return be, se, float(v[4]), float(v[5]) + float(v[6]), int(round(float(v[7]) + float(v[8])))
+
+
+def _acc_fetch(acc):
+    """`_acc_totals` via ONE device->host transfer.
+
+    The relay backend pays ~140 ms per round trip; `_acc_totals`'s nine
+    per-field `np.asarray` fetches cost >1 s of FIXED overhead per run —
+    the bulk of the round-3 wide wall-vs-marginal gap (VERDICT r3 item 6).
+    Packing on device (1 dispatch) and fetching one 36-byte vector keeps
+    the exact int-lo/hi + Kahan semantics."""
+    v = np.asarray(_acc_pack(acc))
+    ints = v[:4].view(np.int32)
+    be = (int(ints[1]) << 24) + int(ints[0])
+    se = (int(ints[3]) << 24) + int(ints[2])
+    papr_sum = float(v[5]) + float(v[6])
+    papr_count = float(v[7]) + float(v[8])
+    return be, se, float(v[4]), papr_sum, int(round(papr_count))
+
+
 class LinkRunner:
     """Compiled executor for one `LinkSetup`.
 
@@ -934,7 +984,7 @@ class LinkRunner:
         if num_full > 0:
             scan = self._scan(num_full, chunk)
             carry, acc = scan(key, carry, snr_arr, sqrt_power)
-            be, se, pk, psum_, pcount = _acc_totals(acc)
+            be, se, pk, psum_, pcount = _acc_fetch(acc)
             totals["bit_errors"] += be
             totals["symbol_errors"] += se
             papr_peak = max(papr_peak, pk)
@@ -943,11 +993,12 @@ class LinkRunner:
         if rem > 0:
             step = self._step(rem, False)
             stats, carry = step(jax.random.fold_in(key, num_full), carry, snr_arr, sqrt_power)
-            totals["bit_errors"] += int(stats["bit_errors"])
-            totals["symbol_errors"] += int(stats["symbol_errors"])
-            papr_peak = max(papr_peak, float(stats["papr_peak"]))
-            papr_sum += float(stats["papr_sum"])
-            papr_count += int(stats["papr_count"])
+            be2, se2, pk2, ps2, pc2 = _stats_fetch(stats)
+            totals["bit_errors"] += be2
+            totals["symbol_errors"] += se2
+            papr_peak = max(papr_peak, pk2)
+            papr_sum += ps2
+            papr_count += pc2
         elapsed = time.perf_counter() - t0
 
         return self._results(

@@ -106,3 +106,27 @@ def test_device_stat_accumulator_exactness():
     np.testing.assert_allclose(
         got_count, float(np.sum(pc, dtype=np.float64)), rtol=1e-6
     )
+
+
+def test_acc_single_transfer_fetch_matches_totals():
+    """_acc_fetch/_stats_fetch (one packed device->host transfer) must equal
+    _acc_totals exactly — int counters travel bitcast, Kahan terms intact."""
+    import jax.numpy as jnp
+
+    from ofdm_tpu.pipeline import (
+        _acc_add, _acc_fetch, _acc_init, _acc_totals, _stats_fetch,
+    )
+
+    stats = {
+        "bit_errors": jnp.int32(2**30 + 12345),
+        "symbol_errors": jnp.int32(2**24 + 7),
+        "papr_peak": jnp.float32(8.25),
+        "papr_sum": jnp.float32(3.5e8),
+        "papr_count": jnp.float32(1 << 22),
+    }
+    acc = _acc_init()
+    for _ in range(3):
+        acc = _acc_add(acc, stats)
+    assert _acc_fetch(acc) == _acc_totals(acc)
+    want = (2**30 + 12345, 2**24 + 7, 8.25, 3.5e8, 1 << 22)
+    assert _stats_fetch(stats) == want

@@ -1131,3 +1131,29 @@ def test_run_collect_symbols_bitwise_on_pallas_path():
 
     p0 = complex(mp.make_constellation("QAM", 64).table[0])
     np.testing.assert_allclose(sym, np.full(256, p0), rtol=2e-6, atol=2e-7)
+
+
+def test_giant_isi_free_links_route_through_lr(monkeypatch):
+    """ISI-free links wider than _DIAG_MAX_N take the lr factored chain
+    (measured 70x the pathological giant-width diag kernel); the lr
+    factors degenerate exactly (D = h_freq, zero correction rows) so the
+    zero-PRNG corner point still decodes exactly."""
+    monkeypatch.setattr(pallas_link, "_LR_MIN_N", 64)
+    monkeypatch.setattr(pallas_link, "_DIAG_MAX_N", 32)
+    runner = _lr_runner(PrefixType.CYCLIC, 1.0)  # CP >= order: ISI-free
+    spec = pallas_link._spec_for(runner, 1024, True)
+    assert spec.conv == "lr" and spec.lre > 0
+    from ofdm_tpu.ops import lowrank
+
+    f = pallas_link.lr_factors(runner)
+    np.testing.assert_allclose(
+        f.d, np.asarray(runner.setup.h_freq), rtol=1e-9, atol=1e-12
+    )
+    assert np.abs(f.cr).max() < 1e-9 and np.abs(f.cp).max() < 1e-9
+    fn = pallas_link.make_pallas_chunk(runner, 1024, interpret=True)
+    stats, _ = fn(
+        jax.random.PRNGKey(0), runner._init_carry(), jnp.float32(30.0),
+        jnp.float32(1.0),
+    )
+    assert int(stats["bit_errors"]) == 0
+    assert int(stats["symbol_errors"]) == 0
