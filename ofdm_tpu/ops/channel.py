@@ -52,6 +52,10 @@ def convolve_blocks(
     K = taps.shape[0]
     if K - 1 > T:
         raise ValueError(f"Channel order {K - 1} exceeds block length {T}.")
+    # Match tap dtype to the signal: f64 host taps scattered into a c64
+    # stream otherwise trip JAX's unsafe-cast scatter FutureWarning.
+    if not isinstance(taps, CArray) and not isinstance(blocks, CArray):
+        taps = jnp.asarray(taps, dtype=jnp.asarray(blocks).dtype)
 
     if K == 1:
         out = taps[0] * blocks

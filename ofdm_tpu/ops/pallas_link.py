@@ -927,9 +927,10 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
             consts = _complex_matrix_consts(*ftx, spec.passes)
     elif spec.conv == "lr":
         # Low-rank ISI factorization (ops/lowrank.py): the banded chain
-        # collapses to y = s*D + t@Cr + t_prev@Cp with t = s @ TailM — two
-        # SKINNY matmuls (E = taps-1 tail lanes, padded to 8) instead of
-        # the dense (T+E)-wide chain, at any width.  The TX matrix is
+        # collapses to y = s*D + [t | t_prev] @ CrCp with t = s @ TailM —
+        # two SKINNY matmuls (E = taps-1 tail lanes, padded to 8; both
+        # corrections ride ONE stacked 2EP-deep operand) instead of the
+        # dense (T+E)-wide chain, at any width.  The TX matrix is
         # staged only for the (strided) PAPR statistic; txext mode stages
         # none at all.  ZP adds the exact rank-r colored-noise factor B^H.
         f = lr_factors(runner)
@@ -937,14 +938,17 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         EP = _pad8(f.E)
         tail_p = np.zeros((n, EP), np.complex128)
         tail_p[:, : f.E] = f.tail
-        cr_p = np.zeros((EP, n), np.complex128)
-        cr_p[: f.E] = f.cr
-        cp_p = np.zeros((EP, n), np.complex128)
-        cp_p[: f.E] = f.cp
+        # Cr and Cp stacked into ONE (2EP, n) operand: the kernel multiplies
+        # the lane-concatenated [t | t_prev] activation by it in a single
+        # MXU pass per output tile (K = 2EP <= 128 costs the same as
+        # K = EP), halving the correction-matmul pass count vs separate
+        # t@Cr + t_prev@Cp calls.
+        crcp_p = np.zeros((2 * EP, n), np.complex128)
+        crcp_p[: f.E] = f.cr
+        crcp_p[EP : EP + f.E] = f.cp
         consts = [] if spec.txext else _complex_matrix_consts(*ftx, spec.passes)
         consts += _complex_matrix_consts(tail_p.real, tail_p.imag, spec.passes)
-        consts += _complex_matrix_consts(cr_p.real, cr_p.imag, spec.passes)
-        consts += _complex_matrix_consts(cp_p.real, cp_p.imag, spec.passes)
+        consts += _complex_matrix_consts(crcp_p.real, crcp_p.imag, spec.passes)
         if spec.nrank > 0 and spec.add_noise:
             # z = g1 + g2 @ B^H reproduces cov = 2 sigma^2 (I + B B^H)
             # = 2 sigma^2 Gram exactly (lowrank.py docstring); rank rows
@@ -1302,15 +1306,16 @@ def _fn_for_spec(spec: _Spec):
             ftx_c = refs[:ncm_tx]
             rest = refs[ncm_tx:]
         elif lr_mode:
-            # [ftx?] + TailM + Cr + Cp [+ B^H] — the TX matrix only feeds
-            # the (strided) PAPR statistic, like diag mode.
+            # [ftx?] + TailM + CrCp [+ B^H] — the TX matrix only feeds
+            # the (strided) PAPR statistic, like diag mode.  CrCp is the
+            # stacked (2EP, n) correction operand for the concatenated
+            # [t | t_prev] activation (one matmul, half the passes).
             (carry_re_ref, carry_im_ref, *refs) = args
             ncm_tx = 0 if spec.txext else ncm
             ftx_c = refs[:ncm_tx]
             tail_c = refs[ncm_tx : ncm_tx + ncm]
-            lcr_c = refs[ncm_tx + ncm : ncm_tx + 2 * ncm]
-            lcp_c = refs[ncm_tx + 2 * ncm : ncm_tx + 3 * ncm]
-            off0 = ncm_tx + 3 * ncm
+            crcp_c = refs[ncm_tx + ncm : ncm_tx + 2 * ncm]
+            off0 = ncm_tx + 2 * ncm
             if colored:
                 bh_c = refs[off0 : off0 + ncm]
                 off0 += ncm
@@ -1541,14 +1546,17 @@ def _fn_for_spec(spec: _Spec):
                 prev_re[:] = jnp.where(firstr, cout_re_ref[0, :][None, :], ptr)
                 prev_im[:] = jnp.where(firstr, cout_im_ref[0, :][None, :], pti)
 
-            cyr, cyi = _cmatmul(tr_, ti_, tuple(c[:] for c in lcr_c), passes, quad)
-            pyr, pyi = _cmatmul(
-                prev_re[:], prev_im[:], tuple(c[:] for c in lcp_c), passes, quad
-            )
+            # One (ROWS, 2EP) @ (2EP, n) matmul covers BOTH corrections:
+            # lanes [0, EP) carry t (×Cr rows), lanes [EP, 2EP) carry
+            # t_prev (×Cp rows) — K = 2EP <= 128 costs the same MXU pass
+            # as K = EP, so this halves the correction pass count.
+            act_r = jnp.concatenate([tr_, prev_re[:]], axis=1)
+            act_i = jnp.concatenate([ti_, prev_im[:]], axis=1)
+            cyr, cyi = _cmatmul(act_r, act_i, tuple(c[:] for c in crcp_c), passes, quad)
             dre0 = dre_ref[:]
             dim0 = dim_ref[:]
-            yr = sr * dre0 - si * dim0 + cyr + pyr
-            yi = sr * dim0 + si * dre0 + cyi + pyi
+            yr = sr * dre0 - si * dim0 + cyr
+            yi = sr * dim0 + si * dre0 + cyi
             # next tile's carry: this tile's last tail row
             cout_re_ref[0, :] = tr_[ROWS - 1, :]
             cout_im_ref[0, :] = ti_[ROWS - 1, :]
@@ -1831,8 +1839,8 @@ def _fn_for_spec(spec: _Spec):
     if diag:
         n_cmats = 0 if spec.txext else 1
     elif lr_mode:
-        # [ftx?] + TailM + Cr + Cp [+ B^H]
-        n_cmats = (0 if spec.txext else 1) + 3 + (1 if colored else 0)
+        # [ftx?] + TailM + CrCp [+ B^H]
+        n_cmats = (0 if spec.txext else 1) + 2 + (1 if colored else 0)
     else:
         n_cmats = 2 if (conv_taps or fold) else 3
     n_vmem_consts = (
