@@ -823,8 +823,10 @@ class LinkRunner:
         # Wide-diag fused kernels run with external PAPR (txext): the
         # kernel reports zero PAPR samples and the sampled XLA modulate
         # supplies the statistic (cached across points — TX-side only).
+        papr_estimator = "in_run"
         if papr_count == 0 and self.setup.num_ofdm_symbols > 0:
             papr_peak, papr_sum, papr_count = self._papr_sample()
+            papr_estimator = "sampled_tx"  # fixed-key sample, docs/PARITY.md
         s = self.setup
         cfg = s.cfg
         B = s.num_ofdm_symbols
@@ -868,6 +870,10 @@ class LinkRunner:
             "papr_sample_fraction": (
                 papr_count / (B * s.block_length) if B else 1.0
             ),
+            # "in_run": the statistic came from the run's own TX planes
+            # (full or papr_stride-sampled); "sampled_tx": the wide-link
+            # fixed-key XLA sample (_papr_sample, docs/PARITY.md).
+            "papr_estimator": papr_estimator,
             "bit_errors": totals["bit_errors"],
             "symbol_errors": totals["symbol_errors"],
             "total_bits": s.total_bits,
