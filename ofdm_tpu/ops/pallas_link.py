@@ -623,17 +623,15 @@ def supports(runner, interpret: bool = False) -> bool:
             return False
         if s.const.coding not in ("gray", "none"):
             return False
-    if getattr(runner, "stream_mode", "independent") == "halo":
-        # Halo (exact contiguous-stream) sharding keeps the fused kernel
-        # (round 4): each shard's chunk-final carry is a pure function of
-        # its PRNG stream (the kernel's carry OUT never reads the carry
-        # IN), so make_carry_probe reproduces it cheaply BEFORE the chunk
-        # runs and parallel.sweep ppermutes it between pallas_calls.
-        # Probe-less modes (ISI-free diag: carry vestigial) fall back to
-        # the XLA halo body.
-        p = plan_for(runner)
-        if p is None or p[1] == "diag":
-            return False
+    # Halo (exact contiguous-stream) sharding keeps the fused kernel on
+    # EVERY mode (round 5): for ISI-carrying modes each shard's
+    # chunk-final carry is a pure function of its PRNG stream (the
+    # kernel's carry OUT never reads the carry IN), so make_carry_probe
+    # reproduces it cheaply BEFORE the chunk runs and parallel.sweep
+    # ppermutes it between pallas_calls; for ISI-free diag links the
+    # carry is vestigial (no ISI path consumes it), so the independent
+    # wiring is already bit-identical to the chained stream and no
+    # probe/exchange is needed at all.
     return not (jax.default_backend() in ("cpu", "gpu") and not interpret)
 
 

@@ -70,8 +70,11 @@ class ShardedLinkRunner(LinkRunner):
         * ``"halo"`` — the sharded batch is ONE contiguous shard-major
           stream; the convolution carry crosses shard boundaries via
           ppermute (parallel.halo), making the sharded convolution
-          bit-exact vs an unsharded run of the same stream.  Runs the XLA
-          chunk path (the exchange happens outside any fused kernel).
+          bit-exact vs an unsharded run of the same stream.  Keeps the
+          fused kernel: ISI-carrying modes exchange a probe-reproduced
+          carry row before each chunk (`_halo_kernel_step`); ISI-free
+          diag links need no exchange (vestigial carry).  Configs off
+          the kernel path run the XLA chunk body with the same ppermute.
         """
         super().__init__(setup)
         if stream_mode not in ("independent", "halo"):
@@ -92,9 +95,11 @@ class ShardedLinkRunner(LinkRunner):
         # (per-device chunk is kept a tile multiple by run()'s rounding via
         # _pallas_chunk_multiple) so multi-chip keeps the single-chip
         # per-chip throughput; falls back to the XLA chunk_body with a
-        # pmean'd global AWGN power measurement.  stream_mode="halo" always
-        # takes the XLA body with the ppermute carry exchange (in halo mode
-        # every shard's carry slot holds the same replicated global carry).
+        # pmean'd global AWGN power measurement.  This _shard_chunk builder
+        # is the NON-lifted fallback only: stream_mode="halo" here takes
+        # the XLA body with the ppermute carry exchange (every shard's
+        # carry slot holds the same replicated global carry); kernel-path
+        # halo runs go through _shard_lifted/_halo_kernel_step instead.
         if self.stream_mode == "halo":
             body = lambda key, carry, snr_db, sqrt_power: self.chunk_body(  # noqa: E731
                 key, carry, local, return_symbols,
@@ -164,7 +169,11 @@ class ShardedLinkRunner(LinkRunner):
             return None
         fn, consts, spec = lifted
         probe = None
-        if self.stream_mode == "halo":
+        if self.stream_mode == "halo" and spec.conv != "diag":
+            # Diag links have a vestigial carry (no ISI path consumes it):
+            # the fused kernel needs no probe/exchange and the independent
+            # wiring is bit-identical to the chained stream, so probe stays
+            # None there by design (tests pin equality vs independent mode).
             from ofdm_tpu.ops import pallas_link
 
             probe = pallas_link.make_carry_probe(
@@ -433,33 +442,39 @@ class ShardedLinkRunner(LinkRunner):
                     P(),
                     P(),
                     P(),
-                    jax.tree.map(lambda _: P(), consts),
+                    jax.tree.map(lambda _: P(), allconsts),
                 ),
                 out_specs=(out_stats_spec, out_carry_spec),
                 check_vma=False,
             )
             j = _SHARED_SHARD_JIT.setdefault(jkey, jax.jit(sm))
         return lambda key, carry0, pids, snrs, sps: j(
-            key, carry0, pids, snrs, sps, consts
+            key, carry0, pids, snrs, sps, allconsts
         )
 
     def _grid_multi_lift(self, chunk: int):
-        # Halo mode: probe consts are per-runner (adaptive order rows) and
-        # the stacked-consts grid doesn't carry them — the adaptive sweep
-        # falls back to looped sharded runs (which DO keep the halo kernel).
-        if self.stream_mode == "halo":
-            return None
+        # Halo mode (round 5): the per-runner probe consts (adaptive order
+        # rows + TX matrices) ride the stacked-consts tree as a
+        # (consts, probe_consts) pair, so adaptive halo sweeps stay on the
+        # one-dispatch fused grid too.
         lifted = self._shard_lifted(chunk)
         if lifted is None:
             return None
-        fn, consts, spec, _local, _probe = lifted
-        return fn, consts, spec
+        fn, consts, spec, _local, probe = lifted
+        return fn, (consts if probe is None else (consts, probe[1])), spec
 
     def _grid_scan_multi(self, num_points: int, num_chunks: int, spec, fn, consts0):
         """Sharded multi-consts grid (adaptive sweeps): consts scan as xs
         inside shard_map, replicated across shards; same stream layout and
-        collective placement as `_grid_scan`."""
-        jkey = ("sagrid", spec, self.mesh, num_points, num_chunks)
+        collective placement as `_grid_scan`.  In halo mode each point's
+        consts leaf is a (consts, probe_consts) pair and every chunk runs
+        probe -> ppermute -> kernel (`_halo_kernel_step`)."""
+        pfn = None
+        if self.stream_mode == "halo" and spec.conv != "diag":
+            from ofdm_tpu.ops import pallas_link
+
+            pfn = pallas_link._probe_fn_for_spec(spec)
+        jkey = ("sagrid", spec, self.mesh, num_points, num_chunks, self.stream_mode)
         j = _SHARED_SHARD_JIT.get(jkey)
         if j is None:
 
@@ -468,12 +483,19 @@ class ShardedLinkRunner(LinkRunner):
 
                 def pbody(_, xs):
                     p, snr, sp, consts_ = xs
+                    if pfn is not None:
+                        consts_, pconsts = consts_
                     pkey = jax.random.fold_in(key, p)
 
                     def cbody(cs, i):
                         c, acc_ = cs
                         k = jax.random.fold_in(jax.random.fold_in(pkey, i), idx)
-                        stats, c2 = fn(k, c, snr, sp, consts_)
+                        if pfn is not None:
+                            stats, c2 = self._halo_kernel_step(
+                                fn, pfn, k, c, snr, sp, consts_, pconsts
+                            )
+                        else:
+                            stats, c2 = fn(k, c, snr, sp, consts_)
                         return (c2, _acc_add(acc_, stats)), None
 
                     (c_end, acc_), _ = jax.lax.scan(

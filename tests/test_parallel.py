@@ -359,17 +359,96 @@ def test_halo_fused_kernel_matches_chained_emulation():
     assert r["symbol_errors"] == se
 
 
-def test_halo_diag_falls_back_to_xla_body():
-    """ISI-free (diag) links have a vestigial carry: halo mode keeps the
-    exact XLA body there (the kernel's diag chain never reads the carry)."""
+def test_halo_diag_keeps_fused_kernel_probeless():
+    """ISI-free (diag) links keep the fused kernel under halo sharding with
+    NO probe/exchange (round 5): the carry is vestigial (no ISI path
+    consumes it), so the independent wiring is bit-identical to the
+    chained contiguous stream — pinned here as exact count equality
+    between halo and independent mode on the same key."""
+    from ofdm_tpu.config import NoiseType
+    from ofdm_tpu.parallel.mesh import make_mesh
+    from ofdm_tpu.ops import pallas_link
+
+    ndev = 4
+    cfg = _cfg(engine="planar", hotpath="pallas", matmul_passes=3,
+               noise_type=NoiseType.NONE, snr_db=8.0,
+               equalization_method=EqualizationMethod.MMSE,
+               num_symbols=64 * 1024 * ndev)
+    mesh = make_mesh(num_devices=ndev)
+    halo = ShardedLinkRunner(pl.prepare(cfg), mesh=mesh, stream_mode="halo")
+    halo._interpret = True
+    assert pallas_link.supports(halo, interpret=True)
+    lifted = halo._shard_lifted(1024 * ndev)
+    assert lifted is not None
+    _, _, spec, _, probe = lifted
+    assert spec.conv == "diag" and probe is None
+    indep = ShardedLinkRunner(pl.prepare(cfg), mesh=mesh)
+    indep._interpret = True
+    rh = halo.run(jax.random.PRNGKey(6))
+    ri = indep.run(jax.random.PRNGKey(6))
+    assert rh["hotpath_used"] == "pallas"
+    assert rh["bit_errors"] == ri["bit_errors"]
+    assert rh["symbol_errors"] == ri["symbol_errors"]
+
+
+def test_halo_fixed_grid_one_dispatch():
+    """run_grid in halo mode: the whole fixed-mode SNR sweep runs in one
+    shard_map dispatch with the probe->ppermute->kernel chunk wiring, and
+    every point equals the looped halo run bit-exactly (also covers the
+    (consts, probe_consts) in_specs wiring of `_grid_scan`)."""
     from ofdm_tpu.config import NoiseType
     from ofdm_tpu.parallel.mesh import make_mesh
 
+    ndev = 4
     cfg = _cfg(engine="planar", hotpath="pallas", matmul_passes=3,
-               noise_type=NoiseType.NONE,
-               equalization_method=EqualizationMethod.ZF)
-    runner = ShardedLinkRunner(pl.prepare(cfg), mesh=make_mesh(), stream_mode="halo")
+               prefix_length_ratio=0.5, noise_type=NoiseType.NONE,
+               equalization_method=EqualizationMethod.MMSE,
+               num_symbols=64 * 1024 * ndev)
+    runner = ShardedLinkRunner(
+        pl.prepare(cfg), mesh=make_mesh(num_devices=ndev), stream_mode="halo"
+    )
     runner._interpret = True
-    from ofdm_tpu.ops import pallas_link
+    key = jax.random.PRNGKey(7)
+    snrs = [6.0, 12.0]
+    grid = runner.run_grid(key, snrs)
+    for p, (g, snr) in enumerate(zip(grid, snrs)):
+        assert g["hotpath_used"] == "pallas"
+        loop = runner.run(jax.random.fold_in(key, p), snr_db=snr)
+        assert g["bit_errors"] == loop["bit_errors"], (p, g["bit_errors"], loop["bit_errors"])
+        assert g["symbol_errors"] == loop["symbol_errors"]
 
-    assert not pallas_link.supports(runner, interpret=True)
+
+def test_halo_adaptive_grid_matches_looped():
+    """run_grid_multi in halo mode: per-point probe consts (adaptive order
+    rows) ride the stacked-consts tree, so the adaptive sweep keeps both
+    the one-dispatch grid AND the halo fused kernel — bit-exact vs looped
+    sharded halo runs."""
+    from ofdm_tpu.config import NoiseType
+    from ofdm_tpu.parallel.mesh import make_mesh
+    from ofdm_tpu.pipeline import run_grid_multi
+
+    ndev = 4
+    mesh = make_mesh(num_devices=ndev)
+    key = jax.random.PRNGKey(8)
+    snrs = [15.0, 20.0]
+    runners = []
+    for snr in snrs:
+        cfg = _cfg(
+            engine="planar", hotpath="pallas", matmul_passes=3,
+            prefix_length_ratio=0.5, noise_type=NoiseType.NONE,
+            num_symbols=1024 * ndev, num_bits=None, snr_db=snr,
+            power_allocation_type=PowerAllocationType.WATERFILLING,
+            adaptive_modulation_mode=AdaptiveModulationMode.CAPACITY_BASED,
+        )
+        r = ShardedLinkRunner(pl.prepare(cfg), mesh=mesh, stream_mode="halo")
+        r._interpret = True
+        runners.append(r)
+    # The lift must carry (consts, probe_consts) — i.e. not fall back.
+    lift = runners[0]._grid_multi_lift(1024 * ndev)
+    assert lift is not None and isinstance(lift[1], tuple) and len(lift[1]) == 2
+    grid = run_grid_multi(runners, key, snrs)
+    for p, (g, r) in enumerate(zip(grid, runners)):
+        assert g["hotpath_used"] == "pallas"
+        loop = r.run(jax.random.fold_in(key, p))
+        assert g["bit_errors"] == loop["bit_errors"], p
+        assert g["symbol_errors"] == loop["symbol_errors"], p
