@@ -2220,10 +2220,22 @@ def make_pallas_dump_chunk(runner, num_syms: int, interpret: bool = False):
     counted realization (replacing run()'s statistical XLA replay,
     VERDICT r3 item 7).  Covers spec.tile OFDM symbols (>= 1024 on every
     shipped plan — far above the 32768-bin plot cap)."""
+    lifted = make_pallas_dump_lifted(runner, num_syms, interpret)
+    if lifted is None:
+        return None
+    fn, consts, _ = lifted
+    return lambda key, carry, snr_db, sqrt_power: fn(key, carry, snr_db, sqrt_power, consts)
+
+
+def make_pallas_dump_lifted(runner, num_syms: int, interpret: bool = False):
+    """(shared_fn, consts, spec) form of `make_pallas_dump_chunk`.
+
+    The lifted form is what sharded capture needs: `parallel.sweep`
+    shard_maps the shared fn with the consts as replicated arguments, so
+    each shard dumps ITS chunk-0 tile-0 plane with its own fold_in'd PRNG
+    stream and the gathered planes are bitwise counted symbols."""
     spec = _spec_for(runner, num_syms, interpret)
     if spec is None:
         return None
     spec = spec._replace(dump=True)
-    fn = _fn_for_spec(spec)
-    consts = _consts_for(runner, spec)
-    return lambda key, carry, snr_db, sqrt_power: fn(key, carry, snr_db, sqrt_power, consts)
+    return _fn_for_spec(spec), _consts_for(runner, spec), spec

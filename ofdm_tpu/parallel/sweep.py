@@ -546,6 +546,73 @@ class ShardedLinkRunner(LinkRunner):
             j = _SHARED_SHARD_JIT.setdefault(jkey, jax.jit(sm))
         return j
 
+    def _dump_step(self, num_syms_global: int):
+        """Sharded chunk-0 capture: every shard runs the dump-variant
+        kernel on its local slice (same fold_in'd key + carry wiring as the
+        counting run, including the halo probe->ppermute exchange) and the
+        tile-0 planes gather along the shard axis — so `run(collect_symbols
+        =...)` renders BITWISE counted symbols on sharded runs too
+        (closing the single-device/sharded capture asymmetry)."""
+        key_ = ("sdump", num_syms_global, self.stream_mode)
+        if key_ in self._jitted:
+            return self._jitted[key_]
+        from ofdm_tpu.ops import pallas_link
+
+        jd = None
+        if num_syms_global % self.n_dev == 0:
+            local = num_syms_global // self.n_dev
+            lifted = pallas_link.make_pallas_dump_lifted(
+                self, local, interpret=self._interpret
+            )
+            probe = None
+            if lifted is not None and self.stream_mode == "halo":
+                _, _, dspec = lifted
+                if dspec.conv != "diag":
+                    probe = pallas_link.make_carry_probe(
+                        self, local, interpret=self._interpret
+                    )
+                    if probe is None:
+                        lifted = None
+            if lifted is not None:
+                fn, consts, _spec = lifted
+                pfn = None if probe is None else probe[0]
+                allconsts = consts if probe is None else (consts, probe[1])
+
+                def f(key, carry, snr_db, sqrt_power, consts_):
+                    idx = jax.lax.axis_index(MC_AXIS)
+                    k = jax.random.fold_in(key, idx)
+                    if pfn is not None:
+                        consts__, pconsts = consts_
+                        stats, _ = self._halo_kernel_step(
+                            fn, pfn, k, carry[0], snr_db, sqrt_power,
+                            consts__, pconsts,
+                        )
+                    else:
+                        stats, _ = fn(k, carry[0], snr_db, sqrt_power, consts_)
+                    return stats["received_symbols"]
+
+                carry_spec = jax.tree.map(
+                    lambda _: P(MC_AXIS), self._init_carry_sharded()
+                )
+                sm = shard_map(
+                    f,
+                    mesh=self.mesh,
+                    in_specs=(
+                        P(), carry_spec, P(), P(),
+                        jax.tree.map(lambda _: P(), allconsts),
+                    ),
+                    out_specs=cplx.CArray(P(MC_AXIS), P(MC_AXIS)),
+                    check_vma=False,
+                )
+                jj = jax.jit(sm)
+
+                def jd(key, carry, snr_db, sqrt_power, _jj=jj, _ac=allconsts):
+                    sym = _jj(key, carry, snr_db, sqrt_power, _ac)
+                    return {"received_symbols": sym}, None
+
+        self._jitted[key_] = jd
+        return jd
+
     def _pallas_chunk_multiple(self) -> int:
         from ofdm_tpu.ops import pallas_link
 

@@ -953,23 +953,15 @@ class LinkRunner:
         received_sample = None
 
         if collect_symbols > 0:
-            # Replay chunk 0 with symbol capture.  On the single-device
-            # Pallas path the dump-variant kernel re-runs chunk 0 with the
-            # scan's own key and captures tile 0's data plane as an extra
-            # output — the rendered constellation is BITWISE the counted
-            # realization.  Sharded runs and XLA paths replay chunk_body
-            # (exact on XLA; on the sharded kernel path the per-shard PRNG
-            # streams make the sample representative, not bitwise).
-            if hotpath_used == "pallas" and getattr(self, "n_dev", 1) == 1:
-                from ofdm_tpu.ops import pallas_link
-
-                key_ = ("dump", chunk)
-                if key_ not in self._jitted:
-                    dfn = pallas_link.make_pallas_dump_chunk(
-                        self, chunk, interpret=self._interpret
-                    )
-                    self._jitted[key_] = None if dfn is None else jax.jit(dfn)
-                jd = self._jitted[key_]
+            # Replay chunk 0 with symbol capture.  On the Pallas path the
+            # dump-variant kernel re-runs chunk 0 with the scan's own key
+            # and captures tile 0's data plane as an extra output — the
+            # rendered constellation is BITWISE the counted realization,
+            # single-device AND sharded (each shard dumps its own tile-0
+            # plane with its fold_in'd stream; ShardedLinkRunner._dump_step
+            # gathers them).  XLA paths replay chunk_body (exact there).
+            if hotpath_used == "pallas":
+                jd = self._dump_step(chunk)
                 if jd is not None:
                     stats0, _ = jd(
                         jax.random.fold_in(key, 0), self._init_carry(),
@@ -1139,6 +1131,22 @@ class LinkRunner:
         grid shards like everything else.
         """
         return self._lifted(chunk)
+
+    def _dump_step(self, chunk: int):
+        """Jitted chunk-0 capture replay on the fused path, or None.
+
+        Single-device: the dump-variant kernel (make_pallas_dump_chunk).
+        ShardedLinkRunner overrides with a shard_map'd dump whose gathered
+        per-shard tile-0 planes are bitwise counted symbols too."""
+        key_ = ("dump", chunk)
+        if key_ not in self._jitted:
+            from ofdm_tpu.ops import pallas_link
+
+            dfn = pallas_link.make_pallas_dump_chunk(
+                self, chunk, interpret=self._interpret
+            )
+            self._jitted[key_] = None if dfn is None else jax.jit(dfn)
+        return self._jitted[key_]
 
     def run_grid(
         self,
