@@ -90,7 +90,10 @@ def main() -> int:
     run_s = None
     ber = None
     hotpath = passes = None
-    for rep in range(3):
+    # 4 reps: relay-side jitter puts ±2-8% on individual walls (r4 driver
+    # bench read 449M/20.1M where an idle host measures 458M+/24.2M; the
+    # extra reps make best-of robust to one or two slow rounds).
+    for rep in range(4):
         r = runner.run(jax.random.fold_in(key, 100 + rep), snr_db=30.0)
         if r["ofdm_symbols_per_s"] > best:
             best = r["ofdm_symbols_per_s"]
@@ -125,10 +128,39 @@ def main() -> int:
         )
         wide_runner = LinkRunner(prepare(wide_cfg))
         wide_runner.run(key, snr_db=25.0)  # compile
-        for rep in range(2):
+        for rep in range(4):
             rw = wide_runner.run(jax.random.fold_in(key, 200 + rep), snr_db=30.0)
             wide_rate = max(wide_rate or 0.0, rw["ofdm_symbols_per_s"])
             wide_ber = rw["bit_error_rate"]
+    except Exception:
+        pass
+
+    # Diagnostic (non-scoring): the lr (low-rank factored ISI) kernel on
+    # its headline cell — 1024 sc ZP ratio 1.0 MMSE, severe_multipath —
+    # where the dense (T+E)-wide matmul chain used to run 3.84M syms/s and
+    # the factored chain measures ~26M (docs/PERFORMANCE.md lr bullet).
+    lr_rate = lr_ber = None
+    try:
+        lr_n = 1 << 26
+        lr_cfg = SimulationConfig(
+            num_symbols=1024 * lr_n,
+            num_subcarriers=1024,
+            constellation_order=64,
+            constellation_type=ConstellationType.QAM,
+            channel_type=ChannelType.CUSTOM,
+            channel_model="severe_multipath",
+            prefix_type=PrefixType.ZERO,
+            prefix_length_ratio=1.0,
+            equalization_method=EqualizationMethod.MMSE,
+            snr_db=30.0,
+            symbols_per_chunk=1 << 17,
+        )
+        lr_runner = LinkRunner(prepare(lr_cfg))
+        lr_runner.run(key, snr_db=25.0)  # compile
+        for rep in range(3):
+            rl = lr_runner.run(jax.random.fold_in(key, 400 + rep), snr_db=30.0)
+            lr_rate = max(lr_rate or 0.0, rl["ofdm_symbols_per_s"])
+            lr_ber = rl["bit_error_rate"]
     except Exception:
         pass
 
@@ -224,6 +256,11 @@ def main() -> int:
                     round(wide_rate, 1) if wide_rate is not None else None
                 ),
                 "wide_1024sc_ber_30db": wide_ber,
+                # lr factored-ISI kernel cell (1024 sc, ZP 1.0, MMSE).
+                "lr_1024sc_zp_ofdm_symbols_per_s": (
+                    round(lr_rate, 1) if lr_rate is not None else None
+                ),
+                "lr_1024sc_zp_ber_30db": lr_ber,
                 # The reference's default config (SC-FDE QPSK ZF @10 dB);
                 # its measured reference BER on this machine is ~0.0145.
                 "scfde_default_ofdm_symbols_per_s": (
