@@ -179,7 +179,15 @@ def factor(
         w, v = np.linalg.eigh(diff)
         if w.min(initial=0.0) < -1e-9:
             return None
-        keep = w > 1e-12
+        # diff = W^H P^H P W has rank <= L by construction (P = the L-row
+        # head-overlap selector), with nonzero eigenvalues on the scale of
+        # the tap energies.  An absolute 1e-12 cutoff kept O(n*eps)
+        # eigh-noise pairs at giant widths — 232 spurious B columns at
+        # 4096 sc (a 33x overdeep noise matmul + MBs of staged VMEM, the
+        # dominant lr correction cost there).  Threshold RELATIVE to the
+        # top eigenvalue; the reconstruction gate below still certifies
+        # the kept factor to _RTOL.
+        keep = w > 1e-9 * max(w.max(initial=0.0), 1e-30)
         bnoise = np.ascontiguousarray(v[:, keep] * np.sqrt(w[keep])[None, :])
         if np.abs(bnoise @ bnoise.conj().T - diff).max(initial=0.0) > _RTOL * max(
             1.0, np.abs(diff).max(initial=0.0)

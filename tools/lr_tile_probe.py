@@ -67,6 +67,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--act-rows", type=int, default=0, help="override _ACT_ROWS_MM")
     ap.add_argument("--scoped", type=int, default=0, help="override _VMEM_SCOPED_LIMIT")
+    ap.add_argument("--compiler-limit", type=int, default=0,
+                    help="override _VMEM_COMPILER_LIMIT (vmem_limit_bytes)")
     ap.add_argument("--n", type=int, default=4096)
     # num_symbols = 1<<k QAM symbols; 4096-sc lr runs ~16.8G QAM/s so
     # k=33/35 gives ~0.5s/2s device walls — enough for differencing.
@@ -82,6 +84,8 @@ def main():
         pk._ACT_ROWS_MM = args.act_rows
     if args.scoped:
         pk._VMEM_SCOPED_LIMIT = args.scoped
+    if args.compiler_limit:
+        pk._VMEM_COMPILER_LIMIT = args.compiler_limit
     import ofdm_tpu.pipeline  # noqa: F401  (imports resolve before run)
 
     print(f"n={args.n} act_rows={pk._ACT_ROWS_MM} scoped={pk._VMEM_SCOPED_LIMIT}")
