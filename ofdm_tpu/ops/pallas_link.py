@@ -84,6 +84,15 @@ _TILE = 1024  # OFDM symbols per grid step (narrow configs; see tile_for)
 # matrix staged) for forced-kernel very wide links.
 _VMEM_SCOPED_LIMIT = 72_000_000
 _VMEM_COMPILER_LIMIT = 100 * 1024 * 1024  # vmem_limit_bytes for pallas_call
+# Giant-width lr links (n >= _GIANT_LR_N) get a raised budget so the grid
+# tile stays 512 instead of 256: measured 2026-08-20 (tools/lr_tile_probe),
+# 4096-sc ZP-MMSE marginal 49.6 ps/bin at tile 512 (cap 116 MiB, actual
+# scoped usage 105.2M reported by Mosaic) vs 51.0 at tile 256 under the
+# default caps.  v5e has 128 MiB of VMEM; the raised cap applies ONLY to
+# this shape (other modes' plans are unchanged under the default budget).
+_GIANT_LR_N = 4096
+_VMEM_SCOPED_GIANT_LR = 119_000_000  # admits 4*14*512*TE at TE ~ 4103
+_VMEM_COMPILER_GIANT_LR = 116 * 1024 * 1024
 # Staged-constant cap, separate from the total budget: a 51 MB stage set
 # (2048-sc mm4) measured 0.09-0.15M OFDM syms/s on hardware — ~6-10x slower
 # than the XLA path there (0.93M), consistent with Mosaic re-fetching the
@@ -186,8 +195,13 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
         fixed = 2 * uu * staged
         if fixed > _VMEM_STAGED_LIMIT:
             continue
+        scoped = (
+            _VMEM_SCOPED_GIANT_LR
+            if conv == "lr" and n >= _GIANT_LR_N
+            else _VMEM_SCOPED_LIMIT
+        )
         for tile in _TILE_LADDER:
-            if fixed + 4 * act_rows * tile * TE <= _VMEM_SCOPED_LIMIT:
+            if fixed + 4 * act_rows * tile * TE <= scoped:
                 return tile, conv
     return None
 
@@ -1894,9 +1908,14 @@ def _fn_for_spec(spec: _Spec):
         interpret=pltpu.InterpretParams() if spec.interpret else False,
         # Raise Mosaic's ~16 MB default VMEM cap: this chip (v5e) has
         # 128 MiB of VMEM, and the wide-link stage sets + large grid tiles
-        # _plan admits need it (see _VMEM_SCOPED_LIMIT).
+        # _plan admits need it (see _VMEM_SCOPED_LIMIT; giant-width lr
+        # links run right up against the chip with the 116 MiB cap).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_COMPILER_LIMIT
+            vmem_limit_bytes=(
+                _VMEM_COMPILER_GIANT_LR
+                if lr_mode and n >= _GIANT_LR_N
+                else _VMEM_COMPILER_LIMIT
+            )
         ),
     )
     num_syms = tiles * TILE

@@ -433,10 +433,12 @@ def test_kernel_unsupported_configs_fall_back():
     odd = _runner()
     # non-tile-multiple chunk sizes fall back
     assert pallas_link.make_pallas_chunk(odd, 1000, interpret=True) is None
-    # halo stream mode falls back (the carry exchange is kernel-external)
+    # halo stream mode KEEPS the kernel (round 5): probe-exchanged carries
+    # on ISI modes, probe-less on diag (vestigial carry) — sweep-level
+    # wiring is pinned in tests/test_parallel.py.
     halo = _runner()
     halo.stream_mode = "halo"
-    assert not pallas_link.supports(halo, interpret=True)
+    assert pallas_link.supports(halo, interpret=True)
 
 
 def test_adaptive_spec_bits_cover_loaded_orders():
