@@ -1076,13 +1076,15 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         # output lane receives its own symbol's mean |rx|^2 — the exact
         # per-row semantics of equalization/models.py:39-49, already
         # broadcast per lane).
-        # Staged as a bf16 hi/lo split and applied with an _mm3 bf16x3
-        # matmul: the |rx|^2 activation and the 1/n weights (inexact in
-        # bf16 for non-power-of-two n) both carry f32-grade precision, so
-        # the packed estimate matches the unpacked f32 per-row mean to
-        # ~1e-7 relative instead of the single-pass ~0.4% (ADVICE r3).
-        mseg = np.kron(np.eye(spec.pack), np.full((n, n), 1.0 / n))
-        consts.extend(_split_const(mseg))
+        # Precision (ADVICE r3) at minimum issue-slot cost (the r4 bf16x3
+        # _mm3 form cost the packed headline ~5% — round-5 bisect): the
+        # staged matrix is the block-diagonal ONES matrix — EXACT in bf16 —
+        # so a 2-pass hi/lo-activation matmul yields the exact-to-~1e-7
+        # per-segment SUM, and the 1/n mean folds into the scalar nv chain
+        # (one f32 multiply).  Matches the unpacked f32 per-row mean to
+        # ~1e-7 relative (test-pinned, test_packed_mmse_matches_unpacked).
+        mseg = np.kron(np.eye(spec.pack), np.ones((n, n)))
+        consts.append(_split_const(mseg)[0])  # hi == the exact ones matrix
 
     if spec.mode == "aqam":
         # Per-subcarrier order parameters as (1, n) lane rows.  Inactive
@@ -1352,7 +1354,7 @@ def _fn_for_spec(spec: _Spec):
             (dre_ref, dim_ref, *rest) = rest
         (hre_ref, him_ref, habs2_ref, zfgr_ref, zfgi_ref, *rest) = rest
         if has_mseg:
-            (mseg_hi_ref, mseg_lo_ref, *rest) = rest
+            (mseg_ref, *rest) = rest
         if is_aqam:
             (mask_ref, mrow_ref, logm_ref, scale_ref, invs_ref, *rest) = rest
         if is_apsk:
@@ -1698,14 +1700,20 @@ def _fn_for_spec(spec: _Spec):
             him = him_ref[:]
             if has_mseg:
                 # Packed rows hold P OFDM symbols: the per-row mean becomes
-                # a per-n-lane-segment mean via ONE bf16 matmul with the
-                # block-diagonal averaging matrix (same per-OFDM-symbol
-                # noise-variance semantics, result already per-lane).
+                # a per-n-lane-segment SUM via the block-diagonal ONES
+                # matmul (exact bf16 weights; hi+lo activation passes keep
+                # ~1e-7 vs the f32 mean), with the 1/n mean folded into the
+                # scalar below — same per-OFDM-symbol noise-variance
+                # semantics, result already per-lane.
                 ph, plo = _split_act(fr * fr + fi_ * fi_)
-                sp = _mm3(ph, plo, mseg_hi_ref[:], mseg_lo_ref[:])
+                w1 = mseg_ref[:]
+                sp = jnp.dot(
+                    ph, w1, preferred_element_type=jnp.float32
+                ) + jnp.dot(plo, w1, preferred_element_type=jnp.float32)
+                nv = sp * (np.float32(1.0 / n) / snr_lin / cg_ref[0])
             else:
                 sp = jnp.mean(fr * fr + fi_ * fi_, axis=1, keepdims=True)  # (Bt, 1)
-            nv = sp / snr_lin / cg_ref[0]
+                nv = sp / snr_lin / cg_ref[0]
             # The slicer gain rides the divide's numerator — zero extra ops.
             if defer_slicer:
                 g = np.float32(1.0) / (habs2_ref[:] + nv)
@@ -1859,7 +1867,7 @@ def _fn_for_spec(spec: _Spec):
         (n_cmats + (1 if is_sc else 0)) * ncm_out
         + 5
         + (2 if lr_mode else 0)  # D rows
-        + (2 if has_mseg else 0)
+        + (1 if has_mseg else 0)
         + (5 if is_aqam else 0)
         + (6 if is_apsk else 0)
     )
