@@ -363,6 +363,17 @@ def _split_act(x):
     return xh, xl
 
 
+def _mseg_for(method, pack: int, W: int) -> bool:
+    """Whether the MMSE per-row noise estimate runs as the exact-ones
+    MXU matmul (per-n-lane-segment sum, 1/n folded into the scalar nv) —
+    packed rows only: the per-symbol segment means need it, and at
+    W = 128 lanes it is one MXU pass.  Routing WIDE unpacked rows
+    through it was measured WORSE (2026-08-20: 1024-sc MMSE 23.2M ->
+    17.5M syms/s — n/128 passes plus the activation split cost more than
+    the cross-lane reduce tree), so unpacked rows keep jnp.mean."""
+    return method == EqualizationMethod.MMSE and pack > 1
+
+
 def _cmatmul(xr, xi, consts, passes: int = 3, quad: bool = False):
     """Complex matmul; consts from _complex_matrix_consts
     (2 refs at quad, 3 at passes=1, 6 at passes=3).
@@ -1069,7 +1080,7 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         zf_g = zf_g * slicer
     consts.append(_row(zf_g.real))
     consts.append(_row(zf_g.imag))
-    if spec.pack > 1 and spec.method == EqualizationMethod.MMSE:
+    if _mseg_for(spec.method, spec.pack, spec.pack * n):
         # Per-OFDM-symbol MMSE noise-variance estimate under lane packing:
         # the per-row mean becomes a per-n-lane-segment mean, computed as
         # one bf16 matmul with the block-diagonal averaging matrix (each
@@ -1298,7 +1309,7 @@ def _fn_for_spec(spec: _Spec):
     ROWS = TILE // P  # plane rows per grid step (still TILE symbols)
     W = P * n  # frequency-plane width
     CW = EP if lr_mode else P * TE  # time/tail-plane width == carry row width
-    has_mseg = P > 1 and method == EqualizationMethod.MMSE
+    has_mseg = _mseg_for(method, P, W)
 
     def kernel(
         seed_ref,  # SMEM (2,) i32: key words
