@@ -1643,10 +1643,13 @@ def _fn_for_spec(spec: _Spec):
             # window's energy) to the reference's T-sample time mean —
             # equal in expectation (lowrank.pw_scale).
             nshape = (ROWS, W) if (fold or lr_mode) else (ROWS, P * T)
-            mp_ = jnp.mean(yr * yr + yi * yi)
-            if lr_mode and not fold:
-                mp_ = mp_ * np.float32(n / T)
-            sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
+            # Draw the noise planes BEFORE the measured-power reduction:
+            # sigma serializes on a full-plane mean of y, and issuing the
+            # (independent) Box-Muller chain first gives the scheduler
+            # work to hide that reduction behind (round-5 find: the lr CP
+            # cell — whose noise chain is a strict SUBSET of ZP's — ran
+            # 20.1 ps/bin of noise vs ZP's 13.1, because ZP's colored
+            # draws happened to provide exactly this overlap).
             rbits = pltpu.bitcast(pltpu.prng_random_bits(nshape), jnp.int32)
             u1 = jnp.maximum(
                 ((rbits >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24, _INV_2_24
@@ -1660,6 +1663,10 @@ def _fn_for_spec(spec: _Spec):
             co, si_ = _cossin_u24((b2 >> 8) & 0xFFFFFF)
             zr_ = rad * co
             zi_ = rad * si_
+            mp_ = jnp.mean(yr * yr + yi * yi)
+            if lr_mode and not fold:
+                mp_ = mp_ * np.float32(n / T)
+            sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
             if colored:
                 # ZP colored noise: z = g1 + g2 @ B^H (g2 iid complex
                 # N(0,1) over RP rank lanes; pad lanes hit zero rows).
