@@ -972,14 +972,17 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         consts = [] if spec.txext else _complex_matrix_consts(*ftx, spec.passes)
         consts += _complex_matrix_consts(tail_p.real, tail_p.imag, spec.passes)
         consts += _complex_matrix_consts(crcp_p.real, crcp_p.imag, spec.passes)
-        if spec.nrank > 0 and spec.add_noise:
+        if spec.add_noise:
             # z = g1 + g2 @ B^H reproduces cov = 2 sigma^2 (I + B B^H)
             # = 2 sigma^2 Gram exactly (lowrank.py docstring); rank rows
             # padded to 8 with zeros (pad g2 lanes multiply zero rows).
-            bh = f.bnoise.conj().T  # (r, n)
-            RP = _pad8(spec.nrank)
+            # Iid-noise links (nrank == 0: CP/none) stage an ALL-ZERO
+            # factor — semantically exact, kept for Mosaic scheduling
+            # (see the `colored` comment in _fn_for_spec: −11% measured).
+            RP = _pad8(max(spec.nrank, 1))
             bh_p = np.zeros((RP, n), np.complex128)
-            bh_p[: spec.nrank] = bh
+            if spec.nrank > 0:
+                bh_p[: spec.nrank] = f.bnoise.conj().T  # (r, n)
             consts += _complex_matrix_consts(bh_p.real, bh_p.imag, spec.passes)
     elif spec.conv == "taps":
         # Wide links: the convolution runs as tap-shift FMAs (no (T, T)
@@ -1295,10 +1298,17 @@ def _fn_for_spec(spec: _Spec):
     ext = spec.ext  # mm mode: prev-tail lanes in the conv activation
     TE = T + ext  # width of the TX output / prev planes / carry rows
     # lr mode: tail lanes padded to a full sublane group; colored ZP noise
-    # factor rank (0 = iid frequency noise, CP/none prefixes).
+    # factor rank (0 = iid frequency noise, CP/none prefixes).  Iid-noise
+    # lr links (CP/none) run the SAME colored block with a ZERO factor
+    # (z = g1 + g2 @ 0 — exact): the extra independent rank-8 draws +
+    # matmul give Mosaic work to overlap the serialized noise chain with,
+    # measured 2026-08-20 at 4096 sc CP-0.5 MMSE: 54.4 -> 48.4 ps/bin
+    # (-11%!) vs the block ABSENT — the iid kernel was a strict work
+    # subset of the colored one yet ran 12% slower (same-process
+    # interleaved A/B; L/T geometry ruled out via ZP-0.5 at 48.0).
     EP = _pad8(spec.lre) if lr_mode else 0
-    colored = lr_mode and spec.nrank > 0 and add_noise
-    RP = _pad8(spec.nrank) if colored else 0
+    colored = lr_mode and add_noise
+    RP = _pad8(max(spec.nrank, 1)) if colored else 0
     # taps mode reads full previous rows; mm mode only the ext tail lanes;
     # lr mode rolls its own (EP-wide) tail planes inline.
     need_prev = (conv_taps and ctaps > 1) or ext > 0
@@ -1663,7 +1673,20 @@ def _fn_for_spec(spec: _Spec):
             co, si_ = _cossin_u24((b2 >> 8) & 0xFFFFFF)
             zr_ = rad * co
             zi_ = rad * si_
-            mp_ = jnp.mean(yr * yr + yi * yi)
+            # Measured power over a >= 2^16-sample row slice of the tile:
+            # |y|^2 here exists ONLY to feed this scalar (the MMSE |rx|^2
+            # is computed post-noise), and the full-plane multiply+reduce
+            # costs ~4 ps/bin at any width — ~12% of the packed headline
+            # kernel.  A 64k-sample slice keeps the estimator std < 0.2%
+            # (noise-power error an order below the bf16 tolerance band)
+            # while cutting the estimator cost by the slice ratio; the
+            # per-tile estimator contract (docs/PARITY.md) is unchanged in
+            # kind — the tile mean was itself already an estimate of the
+            # reference's whole-stream measurement (noise/models.py:14-16).
+            rows_mp = min(ROWS, max(64, -(-65536 // W)))
+            yrm = yr[:rows_mp]
+            yim = yi[:rows_mp]
+            mp_ = jnp.mean(yrm * yrm + yim * yim)
             if lr_mode and not fold:
                 mp_ = mp_ * np.float32(n / T)
             sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
