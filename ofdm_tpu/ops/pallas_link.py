@@ -214,13 +214,15 @@ _LR_MIN_N = 256
 # Gate for the lr kernel mode (tests force it off to pin the fold/mm
 # baselines).
 _LR_ENABLED = True
-# ISI-free links keep the pure-elementwise diag chain up to this width
-# (measured: diag 20.9 ps/bin at 2048 sc vs lr 42.8); beyond it the diag
-# kernel degrades catastrophically (~3.1 ns/bin at 4096 sc, 2026-08-20 —
-# a >16-vreg-wide lane pathology) while the lr factored chain holds
-# ~44 ps/bin at any width, so giant ISI-free links route through lr
-# (D = h_freq exactly; the correction matmuls carry zero rows).
-_DIAG_MAX_N = 2048
+# ISI-free links keep the pure-elementwise diag chain up to this width;
+# beyond it they route through the lr factored chain (D = h_freq exactly;
+# the correction matmuls carry zero rows — test-pinned).  Round-5
+# measurement (same-chip, interleaved): at 64-QAM CP-1.0 MMSE the lr
+# chain beats diag at 1024 sc (36.4 vs ~40 ps/bin marginal) and 2048
+# (36.7 vs 47.2, and a 3.5x smaller small-run wall); at 4096 diag was
+# catastrophic (~3.1 ns/bin, r4).  Links whose lr factors don't exist
+# (single-tap channels: E = 0) keep diag at any width — plan_for guards.
+_DIAG_MAX_N = 512
 
 
 def lr_factors(runner):
@@ -263,8 +265,14 @@ def plan_for(runner, passes: Optional[int] = None):
     """`_plan` for a runner's config; None when the kernel cannot fit."""
     s = runner.setup
     cfg = s.cfg
-    diag = _diag_for(cfg, s) and cfg.num_subcarriers <= _DIAG_MAX_N
-    lrf = None if (diag or not _LR_ENABLED) else lr_factors(runner)
+    isi_free = _diag_for(cfg, s)
+    lrf = lr_factors(runner) if _LR_ENABLED else None
+    # ISI-free links wider than _DIAG_MAX_N prefer the lr chain (see the
+    # constant's measurements) but keep diag when no lr factorization
+    # exists (single-tap channels: E = 0 — the elementwise chain is the
+    # only sub-dense form there).
+    diag = isi_free and (cfg.num_subcarriers <= _DIAG_MAX_N or lrf is None)
+    lrf = None if diag else lrf
     return _plan(
         cfg.num_subcarriers + s.prefix_length,
         cfg.num_subcarriers,

@@ -354,8 +354,10 @@ def test_plan_shrinks_for_wide_configs():
 
     # BASELINE configs[4] shape: 1024 subcarriers, severe_multipath (order
     # 7), CP ratio 1.0 -> guard L=7 >= channel order, so the TX->conv->RX
-    # composite is exactly diagonal and the plan takes the single-matmul
-    # "diag" form (one staged TX matrix, BER chain elementwise).
+    # composite is exactly diagonal.  Round 5: ISI-free links WIDER than
+    # _DIAG_MAX_N take the lr chain (degenerate factors, D = h_freq) —
+    # measured faster than the pure-elementwise diag form at >= 1024 sc
+    # (36.4 vs ~40 ps/bin marginal; see the _DIAG_MAX_N comment).
     wide = pl.LinkRunner(pl.prepare(SimulationConfig(
         num_symbols=1024 * 512, num_subcarriers=1024, constellation_order=64,
         channel_type=ChannelType.CUSTOM, channel_model="severe_multipath",
@@ -364,8 +366,18 @@ def test_plan_shrinks_for_wide_configs():
     assert pallas_link.supports(wide, interpret=True)
     gran = wide._pallas_chunk_multiple()
     spec = pallas_link._spec_for(wide, 2 * gran, True)
-    assert spec is not None and spec.conv == "diag" and spec.ext == 0
+    assert spec is not None and spec.conv == "lr" and spec.ext == 0
     assert spec.tile == gran and spec.tiles == 2
+
+    # ... but a single-tap channel has no lr factorization (E = 0), so
+    # wide ISI-free links keep the diag elementwise form there.
+    flat = pl.LinkRunner(pl.prepare(SimulationConfig(
+        num_symbols=1024 * 512, num_subcarriers=1024, constellation_order=64,
+        channel_type=ChannelType.CUSTOM, channel_model="flat_fading",
+        prefix_length_ratio=1.0, engine="planar", hotpath="pallas",
+    )))
+    fspec = pallas_link._spec_for(flat, flat._pallas_chunk_multiple(), True)
+    assert fspec is not None and fspec.conv == "diag"
 
     # With the guard SHORTER than the channel order the stream has real
     # ISI: round 4 takes the low-rank factored chain ("lr", ops/lowrank.py)
