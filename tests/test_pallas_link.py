@@ -1294,3 +1294,19 @@ def test_long_custom_channel_64_taps_lr_oracle():
     assert se > 0, "want a nontrivial fingerprint"
     assert int(stats["bit_errors"]) == be
     assert int(stats["symbol_errors"]) == se
+
+
+def test_plan_giant_lr_keeps_tile_512():
+    """Giant-width lr links get the dedicated VMEM budget (round 5):
+    tile 512 at 4096 sc (measured 49.9 vs 51.0+ ps/bin at tile 256; the
+    Mosaic cap is raised to 116 MiB for exactly this shape — actual
+    scoped usage 105.2M reported by the compiler)."""
+    p = pallas_link._plan(
+        4103, 4096, 1, False, 8, diag_txext=True, lr=True, lr_rank=7
+    )
+    assert p == (512, "lr"), p
+    # The default budget still caps sub-giant widths as before.
+    p2 = pallas_link._plan(
+        2055, 2048, 1, False, 8, diag_txext=True, lr=True, lr_rank=7
+    )
+    assert p2 == (512, "lr"), p2
