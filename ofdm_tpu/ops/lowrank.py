@@ -124,18 +124,19 @@ def factor(
     # The same composite the mm kernel computes: data lanes through the
     # intra band, ext lanes (prev block's last E time samples) through the
     # tail rows (linops.conv_matrix_merged / conv_rx_merged).
+    zp_R = None
     if prefix == PrefixType.ZERO:
         cm = linops.conv_matrix_merged(taps, T)  # (T+E, T)
         rr, ri = linops.rx_matrix(n, prefix, L)
         R = rr + 1j * ri  # (T, N): overlap-add + DFT
         g_intra = F @ (cm[:T] @ R)
         cp = np.ascontiguousarray(cm[T:] @ R)  # (E, N) — exact by construction
-        gram = R.conj().T @ R
+        zp_R = R
     else:
         cmrx = linops.conv_rx_merged(taps, n, prefix, L)  # (T+E, N)
         g_intra = F @ cmrx[:T]
         cp = np.ascontiguousarray(cmrx[T:])  # (E, N) — exact by construction
-        gram = None  # strip+DFT rows orthonormal — iid frequency noise
+        # strip+DFT rows orthonormal — iid frequency noise
 
     # Joint per-column solve: G_intra[:, j] = D_j * basis_j + TailM @ Cr[:, j]
     # with basis_j = e_j (OFDM: the bins ARE the symbols) or W[:, j]
@@ -172,27 +173,29 @@ def factor(
 
     bnoise = None
     pw_scale = 1.0
-    if gram is not None:
-        # ZP: Gram = I + B B^H (PSD, rank <= L).  Eigendecompose the
-        # difference; keep eigenpairs above tolerance.
-        diff = gram - np.eye(n)
-        w, v = np.linalg.eigh(diff)
-        if w.min(initial=0.0) < -1e-9:
-            return None
-        # diff = W^H P^H P W has rank <= L by construction (P = the L-row
-        # head-overlap selector), with nonzero eigenvalues on the scale of
-        # the tap energies.  An absolute 1e-12 cutoff kept O(n*eps)
-        # eigh-noise pairs at giant widths — 232 spurious B columns at
-        # 4096 sc (a 33x overdeep noise matmul + MBs of staged VMEM, the
-        # dominant lr correction cost there).  Threshold RELATIVE to the
-        # top eigenvalue; the reconstruction gate below still certifies
-        # the kept factor to _RTOL.
-        keep = w > 1e-9 * max(w.max(initial=0.0), 1e-30)
-        bnoise = np.ascontiguousarray(v[:, keep] * np.sqrt(w[keep])[None, :])
-        if np.abs(bnoise @ bnoise.conj().T - diff).max(initial=0.0) > _RTOL * max(
-            1.0, np.abs(diff).max(initial=0.0)
-        ):
-            return None
+    if zp_R is not None:
+        # ZP: R = [W_dft; S] — the body rows are the orthonormal DFT and
+        # the L spill rows S fold the head overlap — so Gram = R^H R
+        # = I + S^H S EXACTLY and the noise factor is B = S^H in closed
+        # form.  (This replaces an O(n^3) eigendecomposition of Gram − I
+        # whose noise floor once inflated the kept rank to 232 at 4096 sc;
+        # the direct construction is exact, instant at any width, and
+        # threshold-free.)  Verified by random probes: (R^H R) v must
+        # equal v + B (B^H v) to _RTOL — certifying BOTH the body
+        # orthonormality and the factor.
+        S = zp_R[n:]  # (L, N) spill rows
+        bnoise = np.ascontiguousarray(S.conj().T) if S.shape[0] else None
+        prng = np.random.default_rng(0)
+        for _ in range(2):
+            v = prng.standard_normal(n) + 1j * prng.standard_normal(n)
+            lhs = zp_R.conj().T @ (zp_R @ v)
+            rhs = v + (
+                bnoise @ (bnoise.conj().T @ v) if bnoise is not None else 0.0
+            )
+            if np.abs(lhs - rhs).max(initial=0.0) > _RTOL * max(
+                1.0, np.abs(lhs).max(initial=0.0)
+            ):
+                return None
         # Freq-bin mean power measures the overlap-added window's energy
         # (n samples); the reference measures the T-sample time mean —
         # equal in expectation up to the n/T count ratio (cross terms of
