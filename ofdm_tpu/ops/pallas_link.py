@@ -206,11 +206,14 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
     return None
 
 
-# Narrower real-ISI links stay on the lane-packed fold/mm kernels (measured
-# 280M+ OFDM syms/s at 64 subcarriers); the low-rank factored chain targets
-# links wide enough that the dense matmuls dominate.  Tests monkeypatch this
-# to exercise the lr kernel at CI-friendly widths.
-_LR_MIN_N = 256
+# 64-subcarrier real-ISI links stay on the lane-packed fold/mm kernels
+# (measured ZP-1.0 MMSE marginals, same chip, 2026-08-20: 64 sc packed mm
+# 212M vs unpacked lr 118M); from 128 subcarriers up the skinny factored
+# chain wins — 128 sc: lr 65.8 vs mm 88.7 ps/bin; 256 sc: lr 58.6 vs mm
+# 89.5 (the mm chain's dense matmuls grow with width while lr holds
+# 36-66 ps/bin).  Tests monkeypatch this to exercise both kernels at
+# CI-friendly widths.
+_LR_MIN_N = 128
 # Gate for the lr kernel mode (tests force it off to pin the fold/mm
 # baselines).
 _LR_ENABLED = True
@@ -1661,13 +1664,31 @@ def _fn_for_spec(spec: _Spec):
             # window's energy) to the reference's T-sample time mean —
             # equal in expectation (lowrank.pw_scale).
             nshape = (ROWS, W) if (fold or lr_mode) else (ROWS, P * T)
-            # Draw the noise planes BEFORE the measured-power reduction:
-            # sigma serializes on a full-plane mean of y, and issuing the
-            # (independent) Box-Muller chain first gives the scheduler
-            # work to hide that reduction behind (round-5 find: the lr CP
-            # cell — whose noise chain is a strict SUBSET of ZP's — ran
-            # 20.1 ps/bin of noise vs ZP's 13.1, because ZP's colored
-            # draws happened to provide exactly this overlap).
+            # lr mode draws the noise planes BEFORE the measured-power
+            # reduction: sigma serializes on a full-plane mean of y, and
+            # issuing the (independent) Box-Muller chain first gives the
+            # scheduler work to hide that reduction behind (round-5 find,
+            # ~1.5% on the lr cells).  NON-lr modes keep the original
+            # mp_-first order: the extended z-plane live ranges pushed the
+            # ZP 3-matmul chain 0.5 MB over the 100 MiB VMEM cap at tile
+            # 8192 (measured compile OOM at 128 sc ZP; pre-reorder code
+            # compiles the same shape at 100.5M-epsilon).
+            if not lr_mode:
+                if fold or diag:
+                    # Sliced measured-power estimator (>= 2^16 samples —
+                    # the full rationale is on the lr branch below) in the
+                    # ORIGINAL pre-draw position.
+                    rows_mp = min(ROWS, max(64, -(-65536 // W)))
+                    yrm = yr[:rows_mp]
+                    yim = yi[:rows_mp]
+                    mp_ = jnp.mean(yrm * yrm + yim * yim)
+                else:
+                    # ZP time-domain (mm) chain: the row slice's extra
+                    # staged planes pushed this kernel ~0.5 MB over the
+                    # 100 MiB cap at tile 8192 (measured compile OOM at
+                    # 128 sc) — keep the full-plane mean here.
+                    mp_ = jnp.mean(yr * yr + yi * yi)
+                sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
             rbits = pltpu.bitcast(pltpu.prng_random_bits(nshape), jnp.int32)
             u1 = jnp.maximum(
                 ((rbits >> 8) & 0xFFFFFF).astype(jnp.float32) * _INV_2_24, _INV_2_24
@@ -1681,23 +1702,25 @@ def _fn_for_spec(spec: _Spec):
             co, si_ = _cossin_u24((b2 >> 8) & 0xFFFFFF)
             zr_ = rad * co
             zi_ = rad * si_
-            # Measured power over a >= 2^16-sample row slice of the tile:
-            # |y|^2 here exists ONLY to feed this scalar (the MMSE |rx|^2
-            # is computed post-noise), and the full-plane multiply+reduce
-            # costs ~4 ps/bin at any width — ~12% of the packed headline
-            # kernel.  A 64k-sample slice keeps the estimator std < 0.2%
-            # (noise-power error an order below the bf16 tolerance band)
-            # while cutting the estimator cost by the slice ratio; the
-            # per-tile estimator contract (docs/PARITY.md) is unchanged in
-            # kind — the tile mean was itself already an estimate of the
-            # reference's whole-stream measurement (noise/models.py:14-16).
-            rows_mp = min(ROWS, max(64, -(-65536 // W)))
-            yrm = yr[:rows_mp]
-            yim = yi[:rows_mp]
-            mp_ = jnp.mean(yrm * yrm + yim * yim)
-            if lr_mode and not fold:
-                mp_ = mp_ * np.float32(n / T)
-            sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
+            if lr_mode:
+                # Measured power over a >= 2^16-sample row slice of the
+                # tile: |y|^2 here exists ONLY to feed this scalar (the
+                # MMSE |rx|^2 is computed post-noise), and the full-plane
+                # multiply+reduce costs ~4 ps/bin at any width.  A
+                # 64k-sample slice keeps the estimator std < 0.2%
+                # (noise-power error an order below the bf16 tolerance
+                # band) while cutting the estimator cost by the slice
+                # ratio; the per-tile estimator contract (docs/PARITY.md)
+                # is unchanged in kind — the tile mean was itself already
+                # an estimate of the reference's whole-stream measurement
+                # (noise/models.py:14-16).
+                rows_mp = min(ROWS, max(64, -(-65536 // W)))
+                yrm = yr[:rows_mp]
+                yim = yi[:rows_mp]
+                mp_ = jnp.mean(yrm * yrm + yim * yim)
+                if not fold:
+                    mp_ = mp_ * np.float32(n / T)
+                sigma = jnp.sqrt(mp_ / snr_lin / 2.0)
             if colored:
                 # ZP colored noise: z = g1 + g2 @ B^H (g2 iid complex
                 # N(0,1) over RP rank lanes; pad lanes hit zero rows).
