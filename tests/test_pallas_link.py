@@ -1310,3 +1310,29 @@ def test_plan_giant_lr_keeps_tile_512():
         2055, 2048, 1, False, 8, diag_txext=True, lr=True, lr_rank=7
     )
     assert p2 == (512, "lr"), p2
+
+
+def test_routing_boundaries_round5():
+    """Measured routing boundaries (2026-08-20, docs/PERFORMANCE.md):
+    real-ISI links take lr from 128 sc (lane packing needs n <= 64, and
+    unpacked mm loses to the skinny factored chain); ISI-free links keep
+    diag through 512 sc and take lr beyond (with a diag fallback when no
+    factorization exists)."""
+    def spec_for(n, ratio, model="severe_multipath"):
+        r = pl.LinkRunner(pl.prepare(SimulationConfig(
+            num_symbols=n * 1024, num_subcarriers=n, constellation_order=64,
+            channel_type=ChannelType.CUSTOM, channel_model=model,
+            prefix_type=PrefixType.ZERO if ratio is None else PrefixType.CYCLIC,
+            prefix_length_ratio=1.0 if ratio is None else ratio,
+            equalization_method=EqualizationMethod.MMSE, snr_db=30.0,
+            engine="planar", hotpath="pallas",
+        )))
+        return pallas_link._spec_for(r, 1024, True)
+
+    assert spec_for(64, None).conv == "mm"      # ZP 64: packed mm
+    assert spec_for(128, None).conv == "lr"     # ZP 128+: lr
+    assert spec_for(256, None).conv == "lr"
+    assert spec_for(512, 1.0).conv == "diag"    # ISI-free <= 512: diag
+    assert spec_for(1024, 1.0).conv == "lr"     # ISI-free > 512: lr
+    # ... unless no lr factors exist (single tap): diag at any width.
+    assert spec_for(1024, 1.0, model="flat_fading").conv == "diag"
