@@ -155,7 +155,12 @@ def _plan(T: int, n: int, passes: int, is_sc: bool, n_taps: int,
     # for the PAPR statistic — two SKINNY matmuls per tile instead of the
     # dense (T+E)-wide chain, at any width.
     ep = _pad8(max(0, min(n_taps - 1, T)))
-    rp = _pad8(lr_rank) if lr_rank else 0
+    # Noise factor rows: iid-noise lr links stage a zero RP=8 factor too
+    # (the scheduling ballast, _fn_for_spec `colored`), so the estimate
+    # always accounts at least one padded group — noise-off links
+    # over-count by ~0.4 MB at 4096 sc, the safe direction (the 128-sc ZP
+    # compile OOM this round came from UNDER-counting by about that much).
+    rp = _pad8(max(lr_rank, 1))
     lr_staged = (
         n * ep + 2 * ep * n + rp * n + (128 * 128 if diag_txext else n * T)
     )
@@ -269,11 +274,15 @@ def plan_for(runner, passes: Optional[int] = None):
     s = runner.setup
     cfg = s.cfg
     isi_free = _diag_for(cfg, s)
-    lrf = lr_factors(runner) if _LR_ENABLED else None
     # ISI-free links wider than _DIAG_MAX_N prefer the lr chain (see the
     # constant's measurements) but keep diag when no lr factorization
     # exists (single-tap channels: E = 0 — the elementwise chain is the
-    # only sub-dense form there).
+    # only sub-dense form there).  lr_factors is computed LAZILY: links
+    # that stay diag never pay the host-side factorization (adaptive
+    # sweeps prepare one runner per SNR point).
+    lrf = None
+    if _LR_ENABLED and not (isi_free and cfg.num_subcarriers <= _DIAG_MAX_N):
+        lrf = lr_factors(runner)
     diag = isi_free and (cfg.num_subcarriers <= _DIAG_MAX_N or lrf is None)
     lrf = None if diag else lrf
     return _plan(
@@ -374,14 +383,15 @@ def _split_act(x):
     return xh, xl
 
 
-def _mseg_for(method, pack: int, W: int) -> bool:
+def _mseg_for(method, pack: int) -> bool:
     """Whether the MMSE per-row noise estimate runs as the exact-ones
     MXU matmul (per-n-lane-segment sum, 1/n folded into the scalar nv) —
-    packed rows only: the per-symbol segment means need it, and at
-    W = 128 lanes it is one MXU pass.  Routing WIDE unpacked rows
-    through it was measured WORSE (2026-08-20: 1024-sc MMSE 23.2M ->
-    17.5M syms/s — n/128 passes plus the activation split cost more than
-    the cross-lane reduce tree), so unpacked rows keep jnp.mean."""
+    packed rows only: the per-symbol segment means need it, and the
+    packed plane is one 128-lane vreg wide so it is one MXU pass.
+    Routing WIDE unpacked rows through it was measured WORSE (2026-08-20:
+    1024-sc MMSE 23.2M -> 17.5M syms/s — n/128 passes plus the activation
+    split cost more than the cross-lane reduce tree), so unpacked rows
+    keep jnp.mean."""
     return method == EqualizationMethod.MMSE and pack > 1
 
 
@@ -1094,7 +1104,7 @@ def _consts_for(runner, spec: _Spec) -> Tuple[jnp.ndarray, ...]:
         zf_g = zf_g * slicer
     consts.append(_row(zf_g.real))
     consts.append(_row(zf_g.imag))
-    if _mseg_for(spec.method, spec.pack, spec.pack * n):
+    if _mseg_for(spec.method, spec.pack):
         # Per-OFDM-symbol MMSE noise-variance estimate under lane packing:
         # the per-row mean becomes a per-n-lane-segment mean, computed as
         # one bf16 matmul with the block-diagonal averaging matrix (each
@@ -1330,7 +1340,7 @@ def _fn_for_spec(spec: _Spec):
     ROWS = TILE // P  # plane rows per grid step (still TILE symbols)
     W = P * n  # frequency-plane width
     CW = EP if lr_mode else P * TE  # time/tail-plane width == carry row width
-    has_mseg = _mseg_for(method, P, W)
+    has_mseg = _mseg_for(method, P)
 
     def kernel(
         seed_ref,  # SMEM (2,) i32: key words
@@ -2259,9 +2269,10 @@ def make_carry_probe(runner, num_syms: int, interpret: bool = False):
     BEFORE the chunk kernels run (parallel.sweep halo wiring), making the
     shard-major stream's ISI chain contiguous across shard boundaries.
 
-    None for ISI-free diag links (the carry is vestigial there — no ISI
-    path consumes it; halo mode falls back to the XLA body) and for
-    unsupported configs."""
+    None for ISI-free diag links — the carry is vestigial there (no ISI
+    path consumes it), so halo mode keeps the fused kernel with NO
+    probe/exchange (round 5; bit-equal to independent mode, test-pinned)
+    — and for unsupported configs."""
     spec = _spec_for(runner, num_syms, interpret)
     if spec is None or spec.conv == "diag":
         return None

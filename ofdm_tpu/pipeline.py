@@ -960,7 +960,9 @@ class LinkRunner:
             # single-device AND sharded (each shard dumps its own tile-0
             # plane with its fold_in'd stream; ShardedLinkRunner._dump_step
             # gathers them).  XLA paths replay chunk_body (exact there).
-            if hotpath_used == "pallas":
+            if hotpath_used == "pallas" and not self._jitted.get(
+                ("dump_failed", chunk)
+            ):
                 jd = self._dump_step(chunk)
                 if jd is not None:
                     try:
@@ -976,8 +978,19 @@ class LinkRunner:
                         # chip's VMEM (pallas_link._VMEM_COMPILER_GIANT_LR)
                         # and the dump variant's two extra (ROWS, W) staged
                         # outputs can push past the cap — fall back to the
-                        # XLA replay (representative sample) there.
+                        # XLA replay (representative sample) there.  The
+                        # failure is remembered (no multi-minute recompile
+                        # retry per run) and surfaced via the
+                        # received_symbols_exact results key.
+                        self._jitted[("dump_failed", chunk)] = True
                         received_sample = None
+            dump_capture = received_sample is not None
+            # Exactness provenance: True when the sample is bitwise the
+            # counted realization — the dump kernel on Pallas paths, or
+            # the deterministic chunk-0 replay on the XLA path (same
+            # chunk_body + same keys).  False only for the Pallas-path
+            # XLA-replay fallback (representative sample).
+            capture_exact = dump_capture or hotpath_used != "pallas"
             if received_sample is None:
                 step0 = self._step(min(chunk, B), True)
                 stats0, _ = step0(
@@ -1007,7 +1020,7 @@ class LinkRunner:
             papr_count += pc2
         elapsed = time.perf_counter() - t0
 
-        return self._results(
+        results = self._results(
             snr_db,
             totals,
             papr_peak,
@@ -1021,6 +1034,11 @@ class LinkRunner:
             matmul_passes_used,
             render_constellation=render_constellation,
         )
+        # received_symbols_exact: None when no capture was requested.
+        results["received_symbols_exact"] = (
+            capture_exact if collect_symbols > 0 else None
+        )
+        return results
 
     # -- whole-grid run (all SNR points in ONE dispatch) -----------------------
     def _grid_scan(self, num_points: int, num_chunks: int, num_syms: int):
