@@ -1292,6 +1292,11 @@ class LinkRunner:
                 matmul_passes_used,
             )
             r["grid_points"] = npts
+            # Grid capture is the per-point XLA replay: bitwise on the XLA
+            # hot path (same chunk_body + keys), representative on Pallas.
+            r["received_symbols_exact"] = (
+                (hotpath_used != "pallas") if collect_symbols > 0 else None
+            )
             out.append(r)
         return out
 
@@ -1431,6 +1436,10 @@ def run_grid_multi(
                 matmul_passes_used,
             )
             res["grid_points"] = len(idxs)
+            # Same replay-capture semantics as run_grid's (see there).
+            res["received_symbols_exact"] = (
+                (hotpath_used != "pallas") if collect_symbols > 0 else None
+            )
             out[p] = res
     return out
 

@@ -388,3 +388,33 @@ def test_papr_sample_estimator():
     assert count == 4096 * runner.setup.block_length  # S capped at B
     papr = mt.papr_db(peak, total, count)
     assert 6.0 < papr < 16.0  # OFDM PAPR band at thousands of symbols
+
+
+def test_received_symbols_exact_provenance():
+    """The capture-provenance key (round 5): True when the sample is
+    bitwise the counted realization (dump kernel on Pallas paths; the
+    deterministic chunk-0 replay on XLA), None when no capture was
+    requested."""
+    cfg = _cfg(num_bits=None, num_symbols=64 * 2048, symbols_per_chunk=64 * 1024)
+    r = pl.LinkRunner(pl.prepare(cfg))
+    res = r.run(jax.random.PRNGKey(0))
+    assert res["received_symbols_exact"] is None
+    res2 = r.run(jax.random.PRNGKey(0), collect_symbols=64)
+    # CPU runs take the XLA path -> the replay is exact there too.
+    assert res2["received_symbols_exact"] is True
+    assert res2["received_symbols"].shape == (64,)
+
+    # Pallas (interpret) path: the dump kernel renders the counted plane.
+    from ofdm_tpu.config import EqualizationMethod, NoiseType
+
+    kcfg = _cfg(
+        num_bits=None, num_symbols=64 * 1024, symbols_per_chunk=64 * 1024,
+        engine="planar", hotpath="pallas", matmul_passes=3,
+        noise_type=NoiseType.NONE,
+        equalization_method=EqualizationMethod.ZF,
+    )
+    kr = pl.LinkRunner(pl.prepare(kcfg))
+    kr._interpret = True
+    kres = kr.run(jax.random.PRNGKey(0), collect_symbols=64)
+    assert kres["hotpath_used"] == "pallas"
+    assert kres["received_symbols_exact"] is True
